@@ -271,6 +271,63 @@ def select(mask, a, b):
 
 
 # ---------------------------------------------------------------------------
+# Host-side vectorized exact ops (numpy uint64; for large constant tables)
+# ---------------------------------------------------------------------------
+
+_NP_MASK32 = np.uint64(0xFFFFFFFF)
+_NP_EPS = np.uint64(0xFFFFFFFF)
+
+
+def np_mul(a, b) -> np.ndarray:
+    """Exact (a * b) mod p on numpy uint64 arrays (vectorized host twin of mul)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    alo = a & _NP_MASK32
+    ahi = a >> np.uint64(32)
+    blo = b & _NP_MASK32
+    bhi = b >> np.uint64(32)
+    ll = alo * blo                       # exact, < 2^64
+    lh = alo * bhi
+    hl = ahi * blo
+    hh = ahi * bhi
+    # mid = lh + hl + (ll >> 32), tracking carry into the high 64 bits
+    mid = lh + hl
+    c_mid = (mid < hl).astype(np.uint64)
+    mid2 = mid + (ll >> np.uint64(32))
+    c_mid += (mid2 < (ll >> np.uint64(32))).astype(np.uint64)
+    lo64 = (ll & _NP_MASK32) | (mid2 << np.uint64(32))
+    hi64 = hh + (mid2 >> np.uint64(32)) + (c_mid << np.uint64(32))
+    # reduce n = lo64 + hi64 * 2^64 mod p, via 2^64 = eps, 2^96 = -1:
+    #   n = lo64 - hi_hi + hi_lo * eps
+    hi_lo = hi64 & _NP_MASK32
+    hi_hi = hi64 >> np.uint64(32)
+    t = lo64 - hi_hi
+    borrow = (lo64 < hi_hi).astype(np.uint64)
+    t -= borrow * _NP_EPS                # wrapped: subtract eps on borrow
+    mid_term = hi_lo * _NP_EPS           # < 2^64, exact
+    r = t + mid_term
+    carry = (r < mid_term).astype(np.uint64)
+    r += carry * _NP_EPS
+    # canonicalize (one conditional subtract)
+    geq = r >= np.uint64(P)
+    r = np.where(geq, r - np.uint64(P), r)
+    return r
+
+
+def np_powers(base: int, n: int) -> np.ndarray:
+    """[base^0, base^1, ..., base^(n-1)] mod p as uint64, via log-doubling."""
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    out = np.ones(1, dtype=np.uint64)
+    cur = np.uint64(base % P)
+    while len(out) < n:
+        out = np.concatenate([out, np_mul(out, cur)])
+        cur = np_mul(cur, cur)[()] if np.ndim(cur) == 0 else np_mul(cur, cur)
+        cur = np.uint64(cur)
+    return out[:n]
+
+
+# ---------------------------------------------------------------------------
 # Host-side exact scalar helpers (python ints; for twiddle tables, tests)
 # ---------------------------------------------------------------------------
 

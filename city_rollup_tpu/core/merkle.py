@@ -1,0 +1,101 @@
+"""Batched Poseidon Merkle trees with caps, in JAX.
+
+A tree over 2^h leaves is built as log-depth batched `two_to_one` passes —
+each level is ONE device call over all nodes of that level (the TPU-native
+replacement for plonky2's rayon-parallel Merkle builder; reference role:
+MerkleCap/MerkleTree consumed by FRI commitments, SURVEY.md §2.1 row 1, and
+the out-of-circuit Merkle math in city_crypto/src/hash/merkle/core.rs).
+
+The cap (plonky2 `cap_height`) keeps the top 2^cap_height digests instead of
+a single root — proofs stop one level below the cap.
+
+Digests are (lo, hi) uint32 pairs of shape (num_nodes, 4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import gl64, poseidon, poseidon_host
+
+
+def hash_leaves(leaf_data):
+    """Hash rows of (num_leaves, k) felt data into (num_leaves, 4) digests.
+
+    Follows plonky2 hash_or_noop: rows with k <= 4 pass through zero-padded,
+    otherwise Poseidon sponge.
+    """
+    lo, hi = leaf_data
+    k = lo.shape[-1]
+    if k <= 4:
+        pad = [(0, 0)] * (lo.ndim - 1) + [(0, 4 - k)]
+        return (jnp.pad(lo, pad), jnp.pad(hi, pad))
+    return poseidon.hash_no_pad(leaf_data)
+
+
+class MerkleTree:
+    """Host-held tree of device-computed levels.
+
+    levels[0] = leaf digests (N, 4); levels[i+1] = pairwise compress of
+    levels[i]; stops when 2^cap_height nodes remain (the cap).
+    """
+
+    def __init__(self, leaf_data, cap_height: int = 0):
+        digests = hash_leaves(leaf_data)
+        n = digests[0].shape[0]
+        assert n & (n - 1) == 0, "leaf count must be a power of two"
+        assert (1 << cap_height) <= n
+        self.num_leaves = n
+        self.cap_height = cap_height
+        levels = [digests]
+        cur = digests
+        while cur[0].shape[0] > (1 << cap_height):
+            lo, hi = cur
+            m = lo.shape[0]
+            left = (lo[0::2], hi[0::2])
+            right = (lo[1::2], hi[1::2])
+            cur = poseidon.two_to_one(left, right)
+            levels.append(cur)
+        self.levels = levels
+
+    @property
+    def cap(self):
+        """(2^cap_height, 4) digest pair."""
+        return self.levels[-1]
+
+    def cap_u64(self) -> np.ndarray:
+        return gl64.to_u64(np.asarray(self.cap[0]), np.asarray(self.cap[1]))
+
+    def prove(self, index: int) -> list[list[int]]:
+        """Merkle path for leaf `index`: sibling digests, leaf level first,
+        stopping below the cap. Host-side (u64 ints)."""
+        siblings = []
+        idx = index
+        for level in self.levels[:-1]:
+            sib = idx ^ 1
+            lo = np.asarray(level[0][sib])
+            hi = np.asarray(level[1][sib])
+            siblings.append([int(x) for x in gl64.to_u64(lo, hi)])
+            idx >>= 1
+        return siblings
+
+
+def h_verify_merkle_proof(leaf_digest: list[int], index: int,
+                          siblings: list[list[int]],
+                          cap: np.ndarray) -> bool:
+    """Host-side proof check against a cap (cap: (2^h, 4) uint64)."""
+    current = list(leaf_digest)
+    idx = index
+    for sib in siblings:
+        if idx & 1:
+            current = poseidon_host.two_to_one(sib, current)
+        else:
+            current = poseidon_host.two_to_one(current, sib)
+        idx >>= 1
+    return list(map(int, cap[idx])) == [int(x) for x in current]
+
+
+def h_hash_leaf(leaf_row: list[int]) -> list[int]:
+    return poseidon_host.hash_or_noop(leaf_row)
