@@ -68,16 +68,22 @@ class MerkleTree:
     def cap_u64(self) -> np.ndarray:
         return gl64.to_u64(np.asarray(self.cap[0]), np.asarray(self.cap[1]))
 
+    def _host_levels(self) -> list[np.ndarray]:
+        """Lazily fetch all levels to host as (n, 4) uint64 (one transfer per
+        level, cached — query opening then costs zero device round-trips)."""
+        if not hasattr(self, "_levels_np"):
+            self._levels_np = [
+                gl64.to_u64(np.asarray(lv[0]), np.asarray(lv[1]))
+                for lv in self.levels]
+        return self._levels_np
+
     def prove(self, index: int) -> list[list[int]]:
         """Merkle path for leaf `index`: sibling digests, leaf level first,
         stopping below the cap. Host-side (u64 ints)."""
         siblings = []
         idx = index
-        for level in self.levels[:-1]:
-            sib = idx ^ 1
-            lo = np.asarray(level[0][sib])
-            hi = np.asarray(level[1][sib])
-            siblings.append([int(x) for x in gl64.to_u64(lo, hi)])
+        for level in self._host_levels()[:-1]:
+            siblings.append([int(x) for x in level[idx ^ 1]])
             idx >>= 1
         return siblings
 

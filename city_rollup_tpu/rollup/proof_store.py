@@ -1,0 +1,142 @@
+"""Proof store + dependency-counter DAG — the entire distributed scheduler.
+
+Semantics (reference: city_rollup_common/src/qworker/proof_store.rs:8-94 and
+city_redis_store, SURVEY.md §2.9): proofs/witnesses are keyed by 24-byte job
+IDs; writes are idempotent (set-if-not-exists); each job group has an atomic
+counter cell storing (count, goal, next_jobs) — the worker whose increment
+reaches the goal enqueues the dependents. ``write_multidimensional_jobs``
+chains aggregation-tree levels so completing level i's last proof releases
+level i+1. Leaderless, idempotent, at-least-once.
+
+Backends: in-memory (single-process + threading.Lock — the testing fake and
+the single-host fast path) and any Redis-compatible KV via the same interface.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Iterable, Optional
+
+from .job_id import JobID, JobDataType
+
+
+class QProofStore:
+    """Reader/writer interface (QProofStore{Reader,Writer}Sync twin)."""
+
+    # -- data plane ----------------------------------------------------------
+    def get_bytes(self, jid: JobID) -> Optional[bytes]:
+        raise NotImplementedError
+
+    def set_bytes(self, jid: JobID, data: bytes) -> None:
+        """Idempotent (first write wins — hset_nx semantics)."""
+        raise NotImplementedError
+
+    def get_proof(self, jid: JobID) -> Optional[bytes]:
+        return self.get_bytes(jid)
+
+    def set_proof(self, jid: JobID, data: bytes) -> None:
+        self.set_bytes(jid, data)
+
+    # -- counter DAG ---------------------------------------------------------
+    def inc_counter(self, counter_id: JobID) -> int:
+        """Atomically bump and return the new count."""
+        raise NotImplementedError
+
+    def get_goal(self, counter_id: JobID) -> int:
+        raise NotImplementedError
+
+    def get_next_jobs(self, counter_id: JobID) -> list[JobID]:
+        raise NotImplementedError
+
+    def write_next_jobs(self, jobs: list[JobID], next_jobs: list[JobID]
+                        ) -> None:
+        """Install counter (count=0, goal=len(jobs), next_jobs) under the
+        group counter cell of jobs[0] (proof_store.rs:46-58)."""
+        counter = jobs[0].counter_id()
+        self._install_counter(counter, goal=len(jobs),
+                              next_jobs=list(next_jobs))
+
+    def write_multidimensional_jobs(self, levels: list[list[JobID]],
+                                    final_next_jobs: list[JobID]) -> None:
+        """Chain tree levels: completing all of level i enqueues level i+1;
+        the last level releases final_next_jobs (proof_store.rs:65-87)."""
+        for i, level in enumerate(levels):
+            nxt = levels[i + 1] if i + 1 < len(levels) else final_next_jobs
+            self.write_next_jobs(level, nxt)
+
+    def _install_counter(self, counter_id: JobID, goal: int,
+                         next_jobs: list[JobID]) -> None:
+        raise NotImplementedError
+
+    def on_job_complete(self, jid: JobID) -> list[JobID]:
+        """Worker-side completion hook: bump the group's counter; if it hits
+        the goal, return the dependents to enqueue (else [])."""
+        counter = jid.counter_id()
+        n = self.inc_counter(counter)
+        if n == self.get_goal(counter):
+            return self.get_next_jobs(counter)
+        return []
+
+
+class MemoryProofStore(QProofStore):
+    """Thread-safe in-memory store (SimpleProofStoreMemory twin,
+    memory_proof_store/mod.rs:10-28)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._data: dict[bytes, bytes] = {}
+        self._counters: dict[bytes, dict] = {}
+
+    def get_bytes(self, jid: JobID) -> Optional[bytes]:
+        with self._lock:
+            return self._data.get(jid.to_bytes())
+
+    def set_bytes(self, jid: JobID, data: bytes) -> None:
+        with self._lock:
+            self._data.setdefault(jid.to_bytes(), data)
+
+    def inc_counter(self, counter_id: JobID) -> int:
+        with self._lock:
+            c = self._counters[counter_id.to_bytes()]
+            c["count"] += 1
+            return c["count"]
+
+    def get_goal(self, counter_id: JobID) -> int:
+        with self._lock:
+            return self._counters[counter_id.to_bytes()]["goal"]
+
+    def get_next_jobs(self, counter_id: JobID) -> list[JobID]:
+        with self._lock:
+            return list(self._counters[counter_id.to_bytes()]["next"])
+
+    def _install_counter(self, counter_id: JobID, goal: int,
+                         next_jobs: list[JobID]) -> None:
+        with self._lock:
+            self._counters.setdefault(
+                counter_id.to_bytes(),
+                {"count": 0, "goal": goal, "next": next_jobs})
+
+    # -- dump/restore (checkpoint of an in-flight block; reference
+    #    BlockProofStoreDump, SURVEY.md §5 "Checkpoint/resume") --------------
+    def dump(self) -> dict:
+        with self._lock:
+            return {
+                "data": {k.hex(): v.hex() for k, v in self._data.items()},
+                "counters": {
+                    k.hex(): {"count": c["count"], "goal": c["goal"],
+                              "next": [j.hex() for j in c["next"]]}
+                    for k, c in self._counters.items()},
+            }
+
+    @classmethod
+    def restore(cls, dump: dict) -> "MemoryProofStore":
+        s = cls()
+        s._data = {bytes.fromhex(k): bytes.fromhex(v)
+                   for k, v in dump["data"].items()}
+        s._counters = {
+            bytes.fromhex(k): {
+                "count": c["count"], "goal": c["goal"],
+                "next": [JobID.from_bytes(bytes.fromhex(j))
+                         for j in c["next"]]}
+            for k, c in dump["counters"].items()}
+        return s
