@@ -56,6 +56,10 @@ class FriProof:
     final_poly: list[tuple[int, int]]     # ext coefficients
     pow_witness: int
     query_rounds: list[list[FriQueryLayer]]
+    # transcript-derived (not trusted by the verifier — it recomputes them):
+    # the prover surfaces them so callers can open their own witness trees
+    # at the same indices.
+    query_indices: list[int] = dataclasses.field(default_factory=list)
 
 
 # ---------------------------------------------------------------------------
@@ -196,8 +200,10 @@ def fri_prove(codeword, log_m: int, shift: int, config: FriConfig,
     # query phase
     m0 = 1 << log_m
     query_rounds = []
+    query_indices = []
     for _ in range(config.num_query_rounds):
         idx = challenger.get_challenge() % m0
+        query_indices.append(idx)
         round_layers = []
         i = idx
         for (cw, tree, lm, _s) in layers:
@@ -211,7 +217,8 @@ def fri_prove(codeword, log_m: int, shift: int, config: FriConfig,
         query_rounds.append(round_layers)
 
     return FriProof(commit_caps=caps, final_poly=final_poly,
-                    pow_witness=pow_witness, query_rounds=query_rounds)
+                    pow_witness=pow_witness, query_rounds=query_rounds,
+                    query_indices=query_indices)
 
 
 # ---------------------------------------------------------------------------
@@ -221,10 +228,11 @@ def fri_prove(codeword, log_m: int, shift: int, config: FriConfig,
 def fri_verify(proof: FriProof, log_m: int, shift: int, config: FriConfig,
                challenger: Challenger,
                initial_eval_fn=None) -> bool:
-    """Verify a FriProof. `initial_eval_fn(index) -> (int, int)` returns the
-    claimed codeword value at a queried initial index (e.g. recomputed from
-    PLONK witness-tree openings); if None, layer-0's own opening is trusted
-    as the claimed value (standalone low-degree test)."""
+    """Verify a FriProof. `initial_eval_fn(query_round, index) -> (int, int)`
+    returns the claimed codeword value at a queried initial index (e.g.
+    recomputed from PLONK witness-tree openings after checking those trees'
+    Merkle paths), or None to signal failure. If the fn itself is None,
+    layer-0's own opening is trusted (standalone low-degree test)."""
     log_degree = log_m - config.rate_bits
     n_folds = config.num_folds(log_degree)
     if len(proof.commit_caps) != n_folds:
@@ -249,12 +257,17 @@ def fri_verify(proof: FriProof, log_m: int, shift: int, config: FriConfig,
         fin_shift = (fin_shift * fin_shift) % gl64.P
     w_fin = gl64.h_primitive_root_of_unity(fin_log)
 
-    for round_layers in proof.query_rounds:
+    for qr, round_layers in enumerate(proof.query_rounds):
         idx = challenger.get_challenge() % m0
         if len(round_layers) != n_folds:
             return False
         i = idx
-        value = initial_eval_fn(idx) if initial_eval_fn else None
+        if initial_eval_fn is not None:
+            value = initial_eval_fn(qr, idx)
+            if value is None:
+                return False
+        else:
+            value = None
         lm, s = log_m, shift % gl64.P
         for layer, beta, cap in zip(round_layers, betas, proof.commit_caps):
             h = 1 << (lm - 1)

@@ -277,6 +277,10 @@ def select(mask, a, b):
 _NP_MASK32 = np.uint64(0xFFFFFFFF)
 _NP_EPS = np.uint64(0xFFFFFFFF)
 
+# uint64 wraparound is intentional throughout (mod-2^64 limb arithmetic);
+# numpy only warns for 0-d scalars, which show up on single-element inputs.
+np.seterr(over="ignore")
+
 
 def np_mul(a, b) -> np.ndarray:
     """Exact (a * b) mod p on numpy uint64 arrays (vectorized host twin of mul)."""
@@ -312,6 +316,42 @@ def np_mul(a, b) -> np.ndarray:
     geq = r >= np.uint64(P)
     r = np.where(geq, r - np.uint64(P), r)
     return r
+
+
+def np_add(a, b) -> np.ndarray:
+    """Exact (a + b) mod p on numpy uint64 arrays."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    s = a + b
+    carry = s < a                       # wrapped past 2^64: add EPSILON back
+    s = np.where(carry, s + _NP_EPS, s)
+    geq = s >= np.uint64(P)
+    return np.where(geq, s - np.uint64(P), s)
+
+
+def np_sub(a, b) -> np.ndarray:
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    return np_add(a, np.where(b == 0, np.uint64(0), np.uint64(P) - b))
+
+
+def np_pow(a, e: int) -> np.ndarray:
+    """Elementwise a^e mod p (square-and-multiply over a fixed exponent)."""
+    a = np.asarray(a, dtype=np.uint64)
+    result = np.ones_like(a)
+    base = a
+    while e > 0:
+        if e & 1:
+            result = np_mul(result, base)
+        base = np_mul(base, base)
+        e >>= 1
+    return result
+
+
+def np_inverse(a) -> np.ndarray:
+    """Elementwise modular inverse via Fermat (vectorized host path for
+    permutation-argument denominators and opening-quotient division)."""
+    return np_pow(a, P - 2)
 
 
 def np_powers(base: int, n: int) -> np.ndarray:

@@ -87,6 +87,46 @@ def eq(a, b):
 
 
 # ---------------------------------------------------------------------------
+# Vectorized host ops (numpy uint64 pairs (a0, a1))
+# ---------------------------------------------------------------------------
+
+def np_ext_add(a, b):
+    return (gl64.np_add(a[0], b[0]), gl64.np_add(a[1], b[1]))
+
+
+def np_ext_sub(a, b):
+    return (gl64.np_sub(a[0], b[0]), gl64.np_sub(a[1], b[1]))
+
+
+def np_ext_mul(a, b):
+    t00 = gl64.np_mul(a[0], b[0])
+    t11 = gl64.np_mul(a[1], b[1])
+    cross = gl64.np_sub(
+        gl64.np_mul(gl64.np_add(a[0], a[1]), gl64.np_add(b[0], b[1])),
+        gl64.np_add(t00, t11))
+    import numpy as _np
+    c0 = gl64.np_add(t00, gl64.np_mul(t11, _np.uint64(W)))
+    return (c0, cross)
+
+
+def np_ext_scale(a, s):
+    """Ext array * ext scalar (s: (int, int))."""
+    import numpy as _np
+    sv = (_np.uint64(s[0]), _np.uint64(s[1]))
+    return np_ext_mul(a, (_np.broadcast_to(sv[0], _np.shape(a[0])),
+                          _np.broadcast_to(sv[1], _np.shape(a[1]))))
+
+
+def np_ext_inverse(a):
+    import numpy as _np
+    norm = gl64.np_sub(gl64.np_mul(a[0], a[0]),
+                       gl64.np_mul(gl64.np_mul(a[1], a[1]), _np.uint64(W)))
+    inv = gl64.np_inverse(norm)
+    return (gl64.np_mul(a[0], inv),
+            gl64.np_mul(gl64.np_sub(_np.zeros_like(a[1]), a[1]), inv))
+
+
+# ---------------------------------------------------------------------------
 # Host twins (python ints): elements are (int, int) tuples
 # ---------------------------------------------------------------------------
 

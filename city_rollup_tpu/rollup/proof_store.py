@@ -48,13 +48,19 @@ class QProofStore:
     def get_next_jobs(self, counter_id: JobID) -> list[JobID]:
         raise NotImplementedError
 
-    def write_next_jobs(self, jobs: list[JobID], next_jobs: list[JobID]
-                        ) -> None:
+    def write_next_jobs(self, jobs: list[JobID], next_jobs: list[JobID],
+                        counter_id: JobID | None = None) -> None:
         """Install counter (count=0, goal=len(jobs), next_jobs) under the
-        group counter cell of jobs[0] (proof_store.rs:46-58)."""
-        counter = jobs[0].counter_id()
+        group counter cell of jobs[0] (proof_store.rs:46-58), or an explicit
+        `counter_id` for cross-group joins (e.g. the three per-op-type tree
+        roots releasing block-agg part 1), and register each job's
+        membership."""
+        counter = counter_id if counter_id is not None \
+            else jobs[0].counter_id()
         self._install_counter(counter, goal=len(jobs),
                               next_jobs=list(next_jobs))
+        for j in jobs:
+            self._add_membership(j, counter)
 
     def write_multidimensional_jobs(self, levels: list[list[JobID]],
                                     final_next_jobs: list[JobID]) -> None:
@@ -68,14 +74,21 @@ class QProofStore:
                          next_jobs: list[JobID]) -> None:
         raise NotImplementedError
 
+    def _add_membership(self, jid: JobID, counter_id: JobID) -> None:
+        raise NotImplementedError
+
+    def memberships(self, jid: JobID) -> list[JobID]:
+        raise NotImplementedError
+
     def on_job_complete(self, jid: JobID) -> list[JobID]:
-        """Worker-side completion hook: bump the group's counter; if it hits
-        the goal, return the dependents to enqueue (else [])."""
-        counter = jid.counter_id()
-        n = self.inc_counter(counter)
-        if n == self.get_goal(counter):
-            return self.get_next_jobs(counter)
-        return []
+        """Worker-side completion hook: bump every counter this job is a
+        member of; return the dependents of any counter that hit its goal."""
+        released: list[JobID] = []
+        for counter in self.memberships(jid):
+            n = self.inc_counter(counter)
+            if n == self.get_goal(counter):
+                released.extend(self.get_next_jobs(counter))
+        return released
 
 
 class MemoryProofStore(QProofStore):
@@ -86,6 +99,7 @@ class MemoryProofStore(QProofStore):
         self._lock = threading.Lock()
         self._data: dict[bytes, bytes] = {}
         self._counters: dict[bytes, dict] = {}
+        self._membership: dict[bytes, list[JobID]] = {}
 
     def get_bytes(self, jid: JobID) -> Optional[bytes]:
         with self._lock:
@@ -116,6 +130,16 @@ class MemoryProofStore(QProofStore):
                 counter_id.to_bytes(),
                 {"count": 0, "goal": goal, "next": next_jobs})
 
+    def _add_membership(self, jid: JobID, counter_id: JobID) -> None:
+        with self._lock:
+            lst = self._membership.setdefault(jid.to_bytes(), [])
+            if counter_id not in lst:
+                lst.append(counter_id)
+
+    def memberships(self, jid: JobID) -> list[JobID]:
+        with self._lock:
+            return list(self._membership.get(jid.to_bytes(), []))
+
     # -- dump/restore (checkpoint of an in-flight block; reference
     #    BlockProofStoreDump, SURVEY.md §5 "Checkpoint/resume") --------------
     def dump(self) -> dict:
@@ -126,6 +150,9 @@ class MemoryProofStore(QProofStore):
                     k.hex(): {"count": c["count"], "goal": c["goal"],
                               "next": [j.hex() for j in c["next"]]}
                     for k, c in self._counters.items()},
+                "membership": {
+                    k.hex(): [c.hex() for c in lst]
+                    for k, lst in self._membership.items()},
             }
 
     @classmethod
@@ -139,4 +166,8 @@ class MemoryProofStore(QProofStore):
                 "next": [JobID.from_bytes(bytes.fromhex(j))
                          for j in c["next"]]}
             for k, c in dump["counters"].items()}
+        s._membership = {
+            bytes.fromhex(k): [JobID.from_bytes(bytes.fromhex(c))
+                               for c in lst]
+            for k, lst in dump.get("membership", {}).items()}
         return s

@@ -1,0 +1,464 @@
+"""CircuitBuilder and circuit data: rows of gates, routed-wire copy
+constraints, preprocessing (selectors/constants/sigmas) committed as one
+Merkle cap.
+
+Reference role: plonky2 `plonk::circuit_builder::CircuitBuilder` +
+`circuit_data::{CircuitData, CommonCircuitData, VerifierOnlyCircuitData}`
+(SURVEY.md §2.14 — the most-imported reference API). The design is the same
+proof-system family; the preprocessing NTTs/hashes run batched on device.
+
+Round-1 limitation (documented): public inputs are routed directly into the
+PublicInputGate's four wires, so a circuit exposes at most 4 public-input
+felts; the general hash-of-public-inputs path lands with the PoseidonGate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import numpy as np
+
+from ..core import gl64, merkle, ntt, poseidon_host
+from .config import CircuitConfig, UNUSED_SELECTOR
+from .gates import ArithmeticGate, ConstantGate, Gate, PublicInputGate
+
+P = gl64.P
+
+
+# ---------------------------------------------------------------------------
+# Targets
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True, order=True)
+class Wire:
+    row: int
+    col: int
+
+
+@dataclasses.dataclass(frozen=True, order=True)
+class VirtualTarget:
+    idx: int
+
+
+Target = Union[Wire, VirtualTarget]
+
+
+class _UnionFind:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        p = self.parent.get(x, x)
+        if p == x:
+            return x
+        root = self.find(p)
+        self.parent[x] = root
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[ra] = rb
+
+
+# ---------------------------------------------------------------------------
+# Circuit data
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GateInstance:
+    gate: Gate
+    constants: tuple            # per-row constant column values
+
+
+@dataclasses.dataclass
+class CommonData:
+    config: CircuitConfig
+    log_n: int
+    gates: list                 # unique Gate objects, global index = gate id
+    selector_groups: list       # list[list[int]] of gate ids
+    num_public_inputs: int
+
+    @property
+    def n(self) -> int:
+        return 1 << self.log_n
+
+    @property
+    def num_sel_cols(self) -> int:
+        return len(self.selector_groups)
+
+    @property
+    def k_is(self) -> list[int]:
+        """Coset representatives for routed columns: 7^i."""
+        g = gl64.MULTIPLICATIVE_GROUP_GENERATOR
+        out, cur = [], 1
+        for _ in range(self.config.num_routed_wires):
+            out.append(cur)
+            cur = (cur * g) % P
+        return out
+
+    def gate_group(self, gate_id: int) -> int:
+        for gi, group in enumerate(self.selector_groups):
+            if gate_id in group:
+                return gi
+        raise KeyError(gate_id)
+
+    def filter_terms(self, gate_id: int) -> list[int]:
+        """(s - t) factors of gate_id's selector filter: UNUSED + the other
+        gate ids in its group."""
+        group = self.selector_groups[self.gate_group(gate_id)]
+        return [UNUSED_SELECTOR] + [t for t in group if t != gate_id]
+
+
+@dataclasses.dataclass
+class VerifierData:
+    constants_sigmas_cap: np.ndarray    # (2^cap, 4) uint64
+    circuit_digest: tuple               # 4 ints
+
+
+@dataclasses.dataclass
+class ProverData:
+    rows: list                          # GateInstance per row (None = noop)
+    row_gate_id: list                   # int or None per row
+    sigmas: np.ndarray                  # (R, n) uint64 sigma column values
+    const_sigma_values: np.ndarray      # (S, n) values incl. selectors
+    const_sigma_coeffs: np.ndarray      # (S, n) coefficient form
+    const_sigma_ldes: np.ndarray        # (S, M) uint64
+    tree: merkle.MerkleTree
+    subgroup: np.ndarray                # g^row table (n,)
+    pi_targets: list
+
+
+@dataclasses.dataclass
+class CircuitData:
+    common: CommonData
+    prover: ProverData
+    verifier: VerifierData
+
+
+# ---------------------------------------------------------------------------
+# Witness
+# ---------------------------------------------------------------------------
+
+class PartialWitness:
+    """Target -> value map over copy-constraint classes."""
+
+    def __init__(self, uf: _UnionFind):
+        self._uf = uf
+        self._vals: dict = {}
+
+    def set(self, t: Target, v: int):
+        v = v % P
+        r = self._uf.find(t)
+        old = self._vals.get(r)
+        if old is not None and old != v:
+            raise ValueError(f"witness conflict at {t}: {old} vs {v}")
+        self._vals[r] = v
+
+    def get(self, t: Target) -> Optional[int]:
+        return self._vals.get(self._uf.find(t))
+
+
+# ---------------------------------------------------------------------------
+# Builder
+# ---------------------------------------------------------------------------
+
+class CircuitBuilder:
+    def __init__(self, config: CircuitConfig | None = None):
+        self.config = config or CircuitConfig()
+        self.rows: list[GateInstance | None] = []
+        self.uf = _UnionFind()
+        self.public_inputs: list[Target] = []
+        self._virtual_cnt = 0
+        self._arith_slots: dict = {}     # (c0, c1) -> (row, next_op)
+        self._const_slot: tuple | None = None
+        self._const_cache: dict = {}
+        self._zero = None
+        self._one = None
+        self._arith_gate = ArithmeticGate(
+            self.config.num_routed_wires // 4)
+        self._const_gate = ConstantGate(self.config.num_constants)
+        self._built = False
+
+    # -- rows ------------------------------------------------------------
+    def add_gate(self, gate: Gate, constants: tuple = ()) -> int:
+        consts = tuple(int(c) % P for c in constants)
+        consts = consts + (0,) * (self.config.num_constants - len(consts))
+        self.rows.append(GateInstance(gate, consts))
+        return len(self.rows) - 1
+
+    # -- targets -----------------------------------------------------------
+    def add_virtual_target(self) -> VirtualTarget:
+        self._virtual_cnt += 1
+        return VirtualTarget(self._virtual_cnt - 1)
+
+    def add_virtual_targets(self, n: int) -> list[VirtualTarget]:
+        return [self.add_virtual_target() for _ in range(n)]
+
+    def connect(self, a: Target, b: Target):
+        self.uf.union(a, b)
+
+    def register_public_input(self, t: Target):
+        self.public_inputs.append(t)
+
+    def register_public_inputs(self, ts):
+        for t in ts:
+            self.register_public_input(t)
+
+    # -- constants -----------------------------------------------------------
+    def constant(self, v: int) -> Target:
+        v = int(v) % P
+        if v in self._const_cache:
+            return self._const_cache[v]
+        if self._const_slot is None or self._const_slot[1] >= \
+                self.config.num_constants:
+            # new constant row; constants filled as slots are claimed
+            row = self.add_gate(self._const_gate, ())
+            self._const_slot = (row, 0)
+        row, slot = self._const_slot
+        inst = self.rows[row]
+        consts = list(inst.constants)
+        consts[slot] = v
+        self.rows[row] = GateInstance(inst.gate, tuple(consts))
+        self._const_slot = (row, slot + 1)
+        t = Wire(row, slot)
+        self._const_cache[v] = t
+        return t
+
+    def zero(self) -> Target:
+        if self._zero is None:
+            self._zero = self.constant(0)
+        return self._zero
+
+    def one(self) -> Target:
+        if self._one is None:
+            self._one = self.constant(1)
+        return self._one
+
+    # -- arithmetic -----------------------------------------------------------
+    def arithmetic(self, c0: int, c1: int, a: Target, b: Target,
+                   d: Target) -> Target:
+        """out = c0*a*b + c1*d (allocates an op slot; rows with equal
+        (c0, c1) are shared, like plonky2's batched ArithmeticGate)."""
+        key = (int(c0) % P, int(c1) % P)
+        slot = self._arith_slots.get(key)
+        if slot is None or slot[1] >= self._arith_gate.num_ops():
+            row = self.add_gate(self._arith_gate, key)
+            slot = (row, 0)
+        row, t = slot
+        self._arith_slots[key] = (row, t + 1)
+        wa, wb, wd, wout = (Wire(row, 4 * t), Wire(row, 4 * t + 1),
+                            Wire(row, 4 * t + 2), Wire(row, 4 * t + 3))
+        self.connect(a, wa)
+        self.connect(b, wb)
+        self.connect(d, wd)
+        return wout
+
+    def add(self, a, b):
+        return self.arithmetic(1, 1, a, self.one(), b)
+
+    def sub(self, a, b):
+        return self.arithmetic(1, P - 1, a, self.one(), b)
+
+    def mul(self, a, b):
+        return self.arithmetic(1, 0, a, b, self.zero())
+
+    def mul_add(self, a, b, d):
+        return self.arithmetic(1, 1, a, b, d)
+
+    def mul_const(self, k, a):
+        return self.arithmetic(k, 0, a, self.one(), self.zero())
+
+    def add_const(self, a, k):
+        return self.arithmetic(1, 1, a, self.one(), self.constant(k))
+
+    def square(self, a):
+        return self.mul(a, a)
+
+    def assert_equal(self, a, b):
+        self.connect(a, b)
+
+    def assert_zero(self, a):
+        self.connect(a, self.zero())
+
+    def exp_u64(self, base, e: int):
+        """base^e for a compile-time exponent."""
+        result = None
+        cur = base
+        while e > 0:
+            if e & 1:
+                result = cur if result is None else self.mul(result, cur)
+            cur = self.square(cur)
+            e >>= 1
+        return self.one() if result is None else result
+
+    # -- build ------------------------------------------------------------------
+    def build(self) -> CircuitData:
+        assert not self._built
+        self._built = True
+        cfg = self.config
+        assert len(self.public_inputs) <= 4, \
+            "round-1 limit: <=4 public-input felts (see module docstring)"
+
+        # public-input gate: route PI targets into wires 0..3
+        pi_gate = PublicInputGate()
+        pi_row = self.add_gate(pi_gate, ())
+        for i, t in enumerate(self.public_inputs):
+            self.connect(t, Wire(pi_row, i))
+        for i in range(len(self.public_inputs), 4):
+            # unused PI slots pinned to zero
+            self.connect(Wire(pi_row, i), self.zero())
+
+        # pad to power-of-two rows (noop rows)
+        n_rows = len(self.rows)
+        log_n = max(3, (n_rows - 1).bit_length())
+        n = 1 << log_n
+        rows: list[GateInstance | None] = list(self.rows) + \
+            [None] * (n - n_rows)
+
+        # unique gates + selector groups (greedy, order of first appearance)
+        gates: list[Gate] = []
+        gate_index: dict[str, int] = {}
+        for inst in rows:
+            if inst and inst.gate.key not in gate_index:
+                gate_index[inst.gate.key] = len(gates)
+                gates.append(inst.gate)
+        selector_groups: list[list[int]] = []
+        cur_group: list[int] = []
+        cur_maxdeg = 0
+        for gid, g in enumerate(gates):
+            d = max(cur_maxdeg, g.degree)
+            if cur_group and (len(cur_group) + 1) + d > \
+                    cfg.max_constraint_degree:
+                selector_groups.append(cur_group)
+                cur_group, cur_maxdeg = [], 0
+            cur_group.append(gid)
+            cur_maxdeg = max(cur_maxdeg, g.degree)
+        if cur_group:
+            selector_groups.append(cur_group)
+
+        common = CommonData(config=cfg, log_n=log_n, gates=gates,
+                            selector_groups=selector_groups,
+                            num_public_inputs=len(self.public_inputs))
+
+        # selector columns
+        num_sel = len(selector_groups)
+        sel = np.full((num_sel, n), UNUSED_SELECTOR, dtype=np.uint64)
+        row_gate_id: list[Optional[int]] = []
+        for r, inst in enumerate(rows):
+            if inst is None:
+                row_gate_id.append(None)
+                continue
+            gid = gate_index[inst.gate.key]
+            row_gate_id.append(gid)
+            sel[common.gate_group(gid), r] = gid
+
+        # constant columns
+        consts = np.zeros((cfg.num_constants, n), dtype=np.uint64)
+        for r, inst in enumerate(rows):
+            if inst is not None:
+                for c, v in enumerate(inst.constants[:cfg.num_constants]):
+                    consts[c, r] = v
+
+        # sigma columns from copy-constraint cycles over routed wires
+        R = cfg.num_routed_wires
+        g_n = gl64.h_primitive_root_of_unity(log_n)
+        subgroup = gl64.np_powers(g_n, n)                       # g^row
+        k_is = common.k_is
+        pos_val = np.empty((R, n), dtype=np.uint64)
+        for i in range(R):
+            pos_val[i] = gl64.np_mul(subgroup, np.uint64(k_is[i]))
+        sigmas = pos_val.copy()            # identity permutation by default
+        # gather cycles: class representative -> member wires
+        classes: dict = {}
+        for r in range(n):
+            for c in range(R):
+                w = Wire(r, c)
+                root = self.uf.find(w)
+                classes.setdefault(root, []).append(w)
+        # include virtual targets' classes (they may join wire classes) —
+        # they don't occupy trace positions, so cycles use wires only.
+        for members in classes.values():
+            if len(members) < 2:
+                continue
+            for j, w in enumerate(members):
+                nxt = members[(j + 1) % len(members)]
+                sigmas[w.col, w.row] = pos_val[nxt.col, nxt.row]
+
+        # preprocessing polynomials: [selectors, constants, sigmas]
+        values = np.concatenate([sel, consts, sigmas], axis=0)      # (S, n)
+        coeffs, ldes = interp_and_lde(values, log_n, cfg.rate_bits)
+        tree = merkle.MerkleTree(gl64.from_u64(ldes.T),
+                                 cap_height=min(cfg.fri.cap_height,
+                                                log_n + cfg.rate_bits))
+        cap = tree.cap_u64()
+        digest = tuple(poseidon_host.hash_no_pad(
+            [int(x) for x in cap.reshape(-1)] +
+            [log_n, R, cfg.num_constants, num_sel]))
+
+        prover = ProverData(rows=rows, row_gate_id=row_gate_id,
+                            sigmas=sigmas, const_sigma_values=values,
+                            const_sigma_coeffs=coeffs,
+                            const_sigma_ldes=ldes, tree=tree,
+                            subgroup=subgroup,
+                            pi_targets=list(self.public_inputs))
+        verifier = VerifierData(constants_sigmas_cap=cap,
+                                circuit_digest=digest)
+        data = CircuitData(common=common, prover=prover, verifier=verifier)
+        data._builder = self       # witness generation needs uf + rows
+        return data
+
+    # -- witness ------------------------------------------------------------------
+    def partial_witness(self) -> PartialWitness:
+        return PartialWitness(self.uf)
+
+
+def interp_and_lde(values: np.ndarray, log_n: int, rate_bits: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """(B, n) u64 trace values -> (coeffs (B, n), coset-LDE values (B, M)),
+    via the batched device NTT pipeline (interpolate then extend)."""
+    import jax
+    pair = gl64.from_u64(values)
+    coeffs = ntt.intt(pair, log_n)
+    out = ntt.coset_lde(coeffs, log_n, rate_bits)
+    jax.block_until_ready(out)
+    coeffs_np = gl64.to_u64(np.asarray(coeffs[0]), np.asarray(coeffs[1]))
+    lde_np = gl64.to_u64(np.asarray(out[0]), np.asarray(out[1]))
+    return coeffs_np, lde_np
+
+
+def generate_witness(data: CircuitData, pw: PartialWitness) -> np.ndarray:
+    """Run gate generators to fixpoint, then materialize the (W, n) wire
+    matrix (reference role: plonky2 iop::generator, SURVEY.md §2.14)."""
+    rows = data.prover.rows
+    cfg = data.common.config
+    n = data.common.n
+    for _ in range(len(rows) + 2):
+        changed = False
+        for r, inst in enumerate(rows):
+            if inst is None:
+                continue
+
+            def get(col, _r=r):
+                return pw.get(Wire(_r, col))
+
+            def set_wire(col, v, _r=r):
+                nonlocal changed
+                w = Wire(_r, col)
+                if pw.get(w) != v % P:
+                    pw.set(w, v)
+                    changed = True
+
+            inst.gate.generate(r, get, set_wire, constants=inst.constants)
+        if not changed:
+            break
+
+    W = cfg.num_wires
+    mat = np.zeros((W, n), dtype=np.uint64)
+    for r in range(n):
+        for c in range(W):
+            v = pw.get(Wire(r, c))
+            if v is not None:
+                mat[c, r] = v
+    return mat

@@ -1,0 +1,390 @@
+"""The PLONK+FRI prover: witness -> proof, with every polynomial-sized pass
+batched on device (LDE NTTs, Merkle hashing, constraint/quotient evaluation,
+FRI folds) and the irregular glue (transcript, cycle products bookkeeping)
+vectorized on host.
+
+Reference role: plonky2 `CircuitData::prove` — the hot loop the whole
+city-rollup worker fleet spends its time in (SURVEY.md §3.1 "HOT LOOPS").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import functools
+
+from ..core import fri, gl64, gl64_ext, merkle, ntt
+from ..core.challenger import Challenger
+from .circuit import (CircuitData, PartialWitness, generate_witness,
+                      interp_and_lde)
+
+P = gl64.P
+
+
+# ---------------------------------------------------------------------------
+# Proof objects
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class OpeningSet:
+    constants_sigmas: list      # ext (int,int) per preprocessing poly
+    wires: list
+    zs: list                    # Z_c(zeta)
+    pps: list                   # partial products (challenge-major)
+    quotient: list              # chunks (challenge-major)
+    zs_next: list               # Z_c(g*zeta)
+
+    def flat(self):
+        return (self.constants_sigmas + self.wires + self.zs + self.pps +
+                self.quotient + self.zs_next)
+
+
+@dataclasses.dataclass
+class InitialTreeOpening:
+    values: list[list[int]]     # per tree: leaf row (all polys at the index)
+    paths: list[list[list[int]]]
+
+
+@dataclasses.dataclass
+class Proof:
+    public_inputs: list[int]
+    wires_cap: np.ndarray
+    zs_pp_cap: np.ndarray
+    quotient_cap: np.ndarray
+    openings: OpeningSet
+    fri_proof: fri.FriProof
+    initial_openings: list[InitialTreeOpening]   # one per query round
+
+
+# ---------------------------------------------------------------------------
+# Host helpers
+# ---------------------------------------------------------------------------
+
+def np_cumprod_mod(a: np.ndarray) -> np.ndarray:
+    """Inclusive cumulative product mod p along the last axis (Hillis-Steele,
+    O(n log n) vectorized muls)."""
+    a = np.array(a, dtype=np.uint64)
+    n = a.shape[-1]
+    s = 1
+    while s < n:
+        shifted = np.concatenate(
+            [np.ones(a.shape[:-1] + (s,), dtype=np.uint64), a[..., :-s]],
+            axis=-1)
+        a = gl64.np_mul(a, shifted)
+        s <<= 1
+    return a
+
+
+def np_ext_horner(coeffs: np.ndarray, point: tuple[int, int]) -> list:
+    """Evaluate B base-coefficient polys (B, n) at one extension point.
+    Vectorized over B; returns list of (int, int)."""
+    b, n = coeffs.shape
+    acc0 = np.zeros(b, dtype=np.uint64)
+    acc1 = np.zeros(b, dtype=np.uint64)
+    z = (np.uint64(point[0]), np.uint64(point[1]))
+    for i in range(n - 1, -1, -1):
+        acc0, acc1 = gl64_ext.np_ext_mul(
+            (acc0, acc1), (np.broadcast_to(z[0], acc0.shape),
+                           np.broadcast_to(z[1], acc1.shape)))
+        acc0 = gl64.np_add(acc0, coeffs[:, i])
+    return [(int(acc0[i]), int(acc1[i])) for i in range(b)]
+
+
+@functools.lru_cache(maxsize=None)
+def _lde_points_cached(log_m: int) -> np.ndarray:
+    w = gl64.h_primitive_root_of_unity(log_m)
+    pows = gl64.np_powers(w, 1 << log_m)
+    return gl64.np_mul(pows, np.uint64(gl64.MULTIPLICATIVE_GROUP_GENERATOR))
+
+
+@functools.lru_cache(maxsize=None)
+def _zh_inv_lde(log_n: int, rate_bits: int) -> np.ndarray:
+    """(x^n - 1)^-1 over the LDE coset ((M,), 2^rate-periodic)."""
+    n, M = 1 << log_n, 1 << (log_n + rate_bits)
+    x = _lde_points_cached(log_n + rate_bits)
+    xn = gl64.np_pow(x[: 1 << rate_bits], n)        # periodic: first period
+    vals = gl64.np_sub(xn, np.ones_like(xn))
+    inv = gl64.np_inverse(vals)
+    return np.tile(inv, M >> rate_bits)
+
+
+@functools.lru_cache(maxsize=None)
+def _l0_lde(log_n: int, rate_bits: int) -> np.ndarray:
+    """L_0(x) = (x^n - 1) / (n (x - 1)) over the LDE coset."""
+    n, M = 1 << log_n, 1 << (log_n + rate_bits)
+    x = _lde_points_cached(log_n + rate_bits)
+    zh = gl64.np_sub(gl64.np_pow(x, n), np.ones(M, dtype=np.uint64))
+    den = gl64.np_mul(gl64.np_sub(x, np.ones(M, dtype=np.uint64)),
+                      np.full(M, n % P, dtype=np.uint64))
+    return gl64.np_mul(zh, gl64.np_inverse(den))
+
+
+# ---------------------------------------------------------------------------
+# Quotient evaluation (host-vectorized numpy; device offload via the same
+# gl64 API is shape-identical and lands with the Pallas kernels)
+# ---------------------------------------------------------------------------
+
+def _constraint_terms(common, ldes: dict, betas, gammas, pi_hash,
+                      challenge: int):
+    """Yield the canonical-order constraint evaluations over the LDE domain
+    for one challenge index: [L0*(Z-1)] + chunk constraints + gate
+    constraints (filtered). Everything (M,) uint64 numpy."""
+    cfg = common.config
+    R = cfg.num_routed_wires
+    cs = cfg.perm_chunk_size
+    num_chunks = cfg.num_perm_chunks
+    npp = cfg.num_partial_products
+    rate = 1 << cfg.rate_bits
+    M = common.n << cfg.rate_bits
+
+    x = _lde_points_cached(common.log_n + cfg.rate_bits)
+    l0 = _l0_lde(common.log_n, cfg.rate_bits)
+    beta, gamma = betas[challenge], gammas[challenge]
+    k_is = common.k_is
+
+    z = ldes["zs"][challenge]                    # (M,)
+    pps = ldes["pps"][challenge]                 # (npp, M)
+    z_next = np.roll(z, -rate)
+
+    terms = []
+    one = np.ones(M, dtype=np.uint64)
+    terms.append(gl64.np_mul(l0, gl64.np_sub(z, one)))
+
+    gamma_v = np.full(M, gamma % P, dtype=np.uint64)
+    for j in range(num_chunks):
+        cols = range(j * cs, min((j + 1) * cs, R))
+        num = one
+        den = one
+        for i in cols:
+            w_i = ldes["wires"][i]
+            bkx = gl64.np_mul(x, np.uint64((beta * k_is[i]) % P))
+            n_i = gl64.np_add(gl64.np_add(w_i, bkx), gamma_v)
+            bs = gl64.np_mul(ldes["sigmas"][i], np.uint64(beta % P))
+            d_i = gl64.np_add(gl64.np_add(w_i, bs), gamma_v)
+            num = gl64.np_mul(num, n_i)
+            den = gl64.np_mul(den, d_i)
+        prev = z if j == 0 else pps[j - 1]
+        nxt = z_next if j == num_chunks - 1 else pps[j]
+        terms.append(gl64.np_sub(gl64.np_mul(nxt, den),
+                                 gl64.np_mul(prev, num)))
+
+    # gate constraints
+    for gid, gate in enumerate(common.gates):
+        group = common.gate_group(gid)
+        sel = ldes["selectors"][group]
+        filt = one
+        for t in common.filter_terms(gid):
+            filt = gl64.np_mul(filt, gl64.np_sub(
+                sel, np.full(M, t % P, dtype=np.uint64)))
+        cvals = gate.eval_vec(ldes["wires"], ldes["constants"], pi_hash)
+        for cv in cvals:
+            terms.append(gl64.np_mul(filt, cv))
+    return terms
+
+
+def compute_quotients(common, ldes: dict, betas, gammas, alphas, pi_hash
+                      ) -> np.ndarray:
+    """Per challenge: combine constraints with alpha powers, divide by Z_H,
+    interpolate, split into `quotient_chunks` degree-n chunks.
+    Returns (num_challenges * chunks, n) coefficient matrix."""
+    cfg = common.config
+    n = common.n
+    M = n << cfg.rate_bits
+    zh_inv = _zh_inv_lde(common.log_n, cfg.rate_bits)
+    out = []
+    for c in range(cfg.num_challenges):
+        terms = _constraint_terms(common, ldes, betas, gammas, pi_hash, c)
+        acc = np.zeros(M, dtype=np.uint64)
+        apow = 1
+        for t in terms:
+            acc = gl64.np_add(acc, gl64.np_mul(t, np.uint64(apow)))
+            apow = (apow * alphas[c]) % P
+        q_lde = gl64.np_mul(acc, zh_inv)
+        # interpolate on the coset -> M coefficients, degree < M
+        import jax
+        cf = ntt.coset_intt(gl64.from_u64(q_lde), common.log_n +
+                            cfg.rate_bits)
+        jax.block_until_ready(cf)
+        coeffs = gl64.to_u64(np.asarray(cf[0]), np.asarray(cf[1]))
+        for j in range(cfg.quotient_chunks):
+            out.append(coeffs[j * n:(j + 1) * n])
+    return np.stack(out)
+
+
+# ---------------------------------------------------------------------------
+# Prove
+# ---------------------------------------------------------------------------
+
+def prove(data: CircuitData, pw: PartialWitness) -> Proof:
+    common, pd, vd = data.common, data.prover, data.verifier
+    cfg = common.config
+    n, log_n = common.n, common.log_n
+    rate_bits = cfg.rate_bits
+    M = n << rate_bits
+    R = cfg.num_routed_wires
+    nc = cfg.num_challenges
+    npp = cfg.num_partial_products
+    cap_h = min(cfg.fri.cap_height, log_n + rate_bits)
+
+    # 1. witness + public inputs
+    wires = generate_witness(data, pw)                       # (W, n)
+    pis = [pw.get(t) or 0 for t in pd.pi_targets]
+    pi_hash = (pis + [0, 0, 0, 0])[:4]
+
+    # 2. wire commitment
+    wire_coeffs, wire_ldes = interp_and_lde(wires, log_n, rate_bits)
+    wires_tree = merkle.MerkleTree(gl64.from_u64(wire_ldes.T), cap_h)
+    wires_cap = wires_tree.cap_u64()
+
+    ch = Challenger()
+    ch.observe_hash(list(vd.circuit_digest))
+    ch.observe_cap(vd.constants_sigmas_cap)
+    ch.observe_elements(pi_hash)
+    ch.observe_cap(wires_cap)
+    betas = ch.get_n_challenges(nc)
+    gammas = ch.get_n_challenges(nc)
+
+    # 3. permutation argument columns
+    x = pd.subgroup                                          # (n,)
+    k_is = common.k_is
+    sigmas = pd.sigmas                                       # (R, n)
+    zs_rows, pp_rows = [], []
+    for c in range(nc):
+        beta, gamma = betas[c], gammas[c]
+        gamma_v = np.full(n, gamma % P, dtype=np.uint64)
+        nums = np.empty((R, n), dtype=np.uint64)
+        dens = np.empty((R, n), dtype=np.uint64)
+        for i in range(R):
+            bkx = gl64.np_mul(x, np.uint64((beta * k_is[i]) % P))
+            nums[i] = gl64.np_add(gl64.np_add(wires[i], bkx), gamma_v)
+            bs = gl64.np_mul(sigmas[i], np.uint64(beta % P))
+            dens[i] = gl64.np_add(gl64.np_add(wires[i], bs), gamma_v)
+        ratios = gl64.np_mul(nums, gl64.np_inverse(dens))    # (R, n)
+        cs = cfg.perm_chunk_size
+        chunk_prod = []
+        for j in range(cfg.num_perm_chunks):
+            blk = ratios[j * cs:(j + 1) * cs]
+            pr = blk[0]
+            for rrow in blk[1:]:
+                pr = gl64.np_mul(pr, rrow)
+            chunk_prod.append(pr)
+        row_prod = chunk_prod[0]
+        for cp in chunk_prod[1:]:
+            row_prod = gl64.np_mul(row_prod, cp)
+        cum = np_cumprod_mod(row_prod)
+        z = np.concatenate([np.ones(1, dtype=np.uint64), cum[:-1]])  # Z[0]=1
+        zs_rows.append(z)
+        run = z
+        for j in range(npp):
+            run = gl64.np_mul(run, chunk_prod[j])
+            pp_rows.append(run)
+    zs_pp = np.stack(zs_rows + pp_rows)                      # (nc*(1+npp), n)
+    zs_pp_coeffs, zs_pp_ldes = interp_and_lde(zs_pp, log_n, rate_bits)
+    zs_pp_tree = merkle.MerkleTree(gl64.from_u64(zs_pp_ldes.T), cap_h)
+    zs_pp_cap = zs_pp_tree.cap_u64()
+    ch.observe_cap(zs_pp_cap)
+    alphas = ch.get_n_challenges(nc)
+
+    # 4. quotient
+    num_sel = common.num_sel_cols
+    csv = pd.const_sigma_ldes
+    ldes = {
+        "selectors": [csv[i] for i in range(num_sel)],
+        "constants": [csv[num_sel + i] for i in range(cfg.num_constants)],
+        "sigmas": [csv[num_sel + cfg.num_constants + i] for i in range(R)],
+        "wires": [wire_ldes[i] for i in range(cfg.num_wires)],
+        "zs": [zs_pp_ldes[c] for c in range(nc)],
+        "pps": [zs_pp_ldes[nc + c * npp: nc + (c + 1) * npp]
+                for c in range(nc)],
+    }
+    q_coeffs = compute_quotients(common, ldes, betas, gammas, alphas,
+                                 pi_hash)                     # (nc*8, n)
+    q_ldes_pair = ntt.coset_lde(gl64.from_u64(q_coeffs), log_n, rate_bits)
+    q_ldes = gl64.to_u64(np.asarray(q_ldes_pair[0]),
+                         np.asarray(q_ldes_pair[1]))
+    q_tree = merkle.MerkleTree(gl64.from_u64(q_ldes.T), cap_h)
+    q_cap = q_tree.cap_u64()
+    ch.observe_cap(q_cap)
+
+    # 5. openings at zeta (and g*zeta for Zs)
+    zeta = ch.get_extension_challenge()
+    cs_coeffs = pd.const_sigma_coeffs
+    S = cs_coeffs.shape[0]
+    all_coeffs = np.concatenate(
+        [cs_coeffs, wire_coeffs, zs_pp_coeffs, q_coeffs])
+    ys = np_ext_horner(all_coeffs, zeta)
+    g_n = gl64.h_primitive_root_of_unity(log_n)
+    gzeta = gl64_ext.h_mul(zeta, (g_n, 0))
+    ys_next = np_ext_horner(zs_pp_coeffs[:nc], gzeta)
+    W = cfg.num_wires
+    openings = OpeningSet(
+        constants_sigmas=ys[:S],
+        wires=ys[S:S + W],
+        zs=ys[S + W:S + W + nc],
+        pps=ys[S + W + nc:S + W + nc + nc * npp],
+        quotient=ys[S + W + nc + nc * npp:],
+        zs_next=ys_next)
+    for y in openings.flat():
+        ch.observe_ext(y)
+
+    # 6. FRI opening proof over the reduced codeword
+    fri_alpha = ch.get_extension_challenge()
+    all_ldes = np.concatenate([csv, wire_ldes, zs_pp_ldes, q_ldes])
+    n_polys = all_ldes.shape[0]
+    xs = _lde_points_cached(log_n + rate_bits)
+    # batch 0: everything at zeta
+    apow = (1, 0)
+    G0 = (np.zeros(M, dtype=np.uint64), np.zeros(M, dtype=np.uint64))
+    y0 = (0, 0)
+    for i in range(n_polys):
+        G0 = gl64_ext.np_ext_add(
+            G0, gl64_ext.np_ext_scale((all_ldes[i], np.zeros_like(all_ldes[i])),
+                                      apow))
+        y0 = gl64_ext.h_add(y0, gl64_ext.h_mul(apow, ys[i]))
+        apow = gl64_ext.h_mul(apow, fri_alpha)
+    inv0 = gl64_ext.np_ext_inverse(
+        gl64_ext.np_ext_sub((xs, np.zeros_like(xs)),
+                            (np.full(M, zeta[0], dtype=np.uint64),
+                             np.full(M, zeta[1], dtype=np.uint64))))
+    num0 = gl64_ext.np_ext_sub(G0, (np.full(M, y0[0], dtype=np.uint64),
+                                    np.full(M, y0[1], dtype=np.uint64)))
+    F = gl64_ext.np_ext_mul(num0, inv0)
+    # batch 1: Zs at g*zeta (alpha powers continue)
+    G1 = (np.zeros(M, dtype=np.uint64), np.zeros(M, dtype=np.uint64))
+    y1 = (0, 0)
+    for c in range(nc):
+        zlde = zs_pp_ldes[c]
+        G1 = gl64_ext.np_ext_add(
+            G1, gl64_ext.np_ext_scale((zlde, np.zeros_like(zlde)), apow))
+        y1 = gl64_ext.h_add(y1, gl64_ext.h_mul(apow, ys_next[c]))
+        apow = gl64_ext.h_mul(apow, fri_alpha)
+    inv1 = gl64_ext.np_ext_inverse(
+        gl64_ext.np_ext_sub((xs, np.zeros_like(xs)),
+                            (np.full(M, gzeta[0], dtype=np.uint64),
+                             np.full(M, gzeta[1], dtype=np.uint64))))
+    num1 = gl64_ext.np_ext_sub(G1, (np.full(M, y1[0], dtype=np.uint64),
+                                    np.full(M, y1[1], dtype=np.uint64)))
+    F = gl64_ext.np_ext_add(F, gl64_ext.np_ext_mul(num1, inv1))
+
+    codeword = (gl64.from_u64(F[0]), gl64.from_u64(F[1]))
+    fri_proof = fri.fri_prove(codeword, log_n + rate_bits,
+                              gl64.MULTIPLICATIVE_GROUP_GENERATOR,
+                              cfg.fri, ch)
+
+    # 7. initial-tree openings at the FRI query indices
+    trees = [pd.tree, wires_tree, zs_pp_tree, q_tree]
+    mats = [csv, wire_ldes, zs_pp_ldes, q_ldes]
+    initial = []
+    for idx in fri_proof.query_indices:
+        values, paths = [], []
+        for tr, mat in zip(trees, mats):
+            values.append([int(v) for v in mat[:, idx]])
+            paths.append(tr.prove(idx))
+        initial.append(InitialTreeOpening(values=values, paths=paths))
+
+    return Proof(public_inputs=[int(v) for v in pis],
+                 wires_cap=wires_cap, zs_pp_cap=zs_pp_cap,
+                 quotient_cap=q_cap, openings=openings,
+                 fri_proof=fri_proof, initial_openings=initial)
