@@ -92,25 +92,31 @@ def _partial_round(state, round_idx):
     return _mds_layer((lo, hi))
 
 
+def _full_body(carry, r):
+    return _full_round(carry, r), None
+
+
+def _partial_body(carry, r):
+    return _partial_round(carry, r), None
+
+
+@jax.jit
 def permute(state):
-    """Poseidon permutation on (lo, hi) state of shape (..., 12)."""
+    """Poseidon permutation on (lo, hi) state of shape (..., 12).
+
+    Module-level jit: traced once per batch shape (the scan bodies are
+    module-level too, so nothing re-traces per call)."""
     h = params.HALF_N_FULL_ROUNDS
-
-    def full_body(carry, r):
-        return _full_round(carry, r), None
-
-    def partial_body(carry, r):
-        return _partial_round(carry, r), None
-
-    state, _ = jax.lax.scan(full_body, state, jnp.arange(h))
+    state, _ = jax.lax.scan(_full_body, state, jnp.arange(h))
     state, _ = jax.lax.scan(
-        partial_body, state, jnp.arange(h, h + params.N_PARTIAL_ROUNDS))
+        _partial_body, state, jnp.arange(h, h + params.N_PARTIAL_ROUNDS))
     state, _ = jax.lax.scan(
-        full_body, state,
+        _full_body, state,
         jnp.arange(h + params.N_PARTIAL_ROUNDS, params.N_ROUNDS))
     return state
 
 
+@jax.jit
 def two_to_one(left, right):
     """Batched Merkle compress: (..., 4) x (..., 4) -> (..., 4)."""
     zlo = jnp.zeros_like(left[0])
@@ -120,6 +126,7 @@ def two_to_one(left, right):
     return (out[0][..., :4], out[1][..., :4])
 
 
+@jax.jit
 def hash_no_pad(inputs):
     """Batched sponge over (..., n) felt arrays -> (..., 4) digests.
 

@@ -197,6 +197,10 @@ class CircuitBuilder:
         return [self.add_virtual_target() for _ in range(n)]
 
     def connect(self, a: Target, b: Target):
+        for t in (a, b):
+            if isinstance(t, Wire):
+                assert t.col < self.config.num_routed_wires, \
+                    f"cannot route non-routed wire column {t.col}"
         self.uf.union(a, b)
 
     def register_public_input(self, t: Target):
@@ -293,22 +297,100 @@ class CircuitBuilder:
             e >>= 1
         return self.one() if result is None else result
 
+    # -- hashing (Poseidon in-circuit) -----------------------------------------
+    def poseidon_permute(self, state: list) -> list:
+        """Width-12 Poseidon permutation; one PoseidonGate row."""
+        from .gate_poseidon import (COL_IN, COL_OUT, NUM_WIRES, W12,
+                                    PoseidonGate)
+        assert len(state) == W12
+        assert self.config.num_wires >= NUM_WIRES, \
+            "config.num_wires too small for PoseidonGate (need >= 142); " \
+            "use CircuitConfig.poseidon_config()"
+        if not hasattr(self, "_poseidon_gate"):
+            self._poseidon_gate = PoseidonGate()
+        row = self.add_gate(self._poseidon_gate, ())
+        for i, t in enumerate(state):
+            self.connect(t, Wire(row, COL_IN + i))
+        return [Wire(row, COL_OUT + i) for i in range(W12)]
+
+    def hash_n_to_m_no_pad(self, inputs: list, num_outputs: int) -> list:
+        """Poseidon sponge, rate 8 / capacity 4, no padding (in-circuit twin
+        of poseidon_host.hash_n_to_m_no_pad; plonky2 hash_n_to_hash_no_pad)."""
+        rate = 8
+        state = [self.zero()] * 12
+        for c0 in range(0, len(inputs), rate):
+            chunk = inputs[c0:c0 + rate]
+            state = list(chunk) + state[len(chunk):]
+            state = self.poseidon_permute(state)
+        outputs = []
+        while True:
+            for t in state[:rate]:
+                outputs.append(t)
+                if len(outputs) == num_outputs:
+                    return outputs
+            state = self.poseidon_permute(state)
+
+    def hash_n_to_hash_no_pad(self, inputs: list) -> list:
+        return self.hash_n_to_m_no_pad(inputs, 4)
+
+    def hash_two_to_one(self, left: list, right: list) -> list:
+        """Merkle interior node: permute(left || right || 0^4)[:4]."""
+        assert len(left) == 4 and len(right) == 4
+        state = list(left) + list(right) + [self.zero()] * 4
+        return self.poseidon_permute(state)[:4]
+
+    def add_virtual_hash(self) -> list:
+        return self.add_virtual_targets(4)
+
+    def connect_hashes(self, a: list, b: list):
+        for x, y in zip(a, b):
+            self.connect(x, y)
+
+    # -- range checks ----------------------------------------------------------
+    def split_le(self, t: Target, num_bits: int) -> list:
+        """Decompose t into num_bits little-endian bits (proving t < 2^bits).
+        Bits are routable for num_bits <= num_routed_wires - 1."""
+        from .gates import BaseSumGate
+        assert num_bits + 1 <= self.config.num_wires
+        row = self.add_gate(BaseSumGate(num_bits), ())
+        self.connect(t, Wire(row, 0))
+        return [Wire(row, 1 + i) for i in range(num_bits)]
+
+    def range_check(self, t: Target, num_bits: int):
+        """Assert t < 2^num_bits (bits stay unrouted)."""
+        from .gates import BaseSumGate
+        assert num_bits + 1 <= self.config.num_wires
+        row = self.add_gate(BaseSumGate(num_bits), ())
+        self.connect(t, Wire(row, 0))
+
+    def assert_lte(self, a: Target, b: Target, num_bits: int = 32):
+        """Assert a <= b for values known < 2^num_bits (reference
+        ComparisonGate's balance-check role, SURVEY.md §2.2)."""
+        self.range_check(self.sub(b, a), num_bits)
+
     # -- build ------------------------------------------------------------------
     def build(self) -> CircuitData:
         assert not self._built
         self._built = True
         cfg = self.config
-        assert len(self.public_inputs) <= 4, \
-            "round-1 limit: <=4 public-input felts (see module docstring)"
 
-        # public-input gate: route PI targets into wires 0..3
+        # public-input gate. <=4 PIs route directly into wires 0..3; more
+        # are Poseidon-hashed in-circuit and the digest routed there (the
+        # verifier recomputes the same hash from the claimed PIs — plonky2's
+        # get_public_inputs_hash pattern).
         pi_gate = PublicInputGate()
-        pi_row = self.add_gate(pi_gate, ())
-        for i, t in enumerate(self.public_inputs):
-            self.connect(t, Wire(pi_row, i))
-        for i in range(len(self.public_inputs), 4):
-            # unused PI slots pinned to zero
-            self.connect(Wire(pi_row, i), self.zero())
+        if len(self.public_inputs) > 4:
+            digest = self.hash_n_to_hash_no_pad(list(self.public_inputs))
+            pi_row = self.add_gate(pi_gate, ())
+            for i in range(4):
+                self.connect(digest[i], Wire(pi_row, i))
+        else:
+            pi_row = self.add_gate(pi_gate, ())
+            for i, t in enumerate(self.public_inputs):
+                self.connect(t, Wire(pi_row, i))
+            for i in range(len(self.public_inputs), 4):
+                # unused PI slots pinned to zero
+                self.connect(Wire(pi_row, i), self.zero())
 
         # pad to power-of-two rows (noop rows)
         n_rows = len(self.rows)

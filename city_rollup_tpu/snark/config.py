@@ -41,6 +41,13 @@ class CircuitConfig:
     def quotient_chunks(self) -> int:
         return self.max_constraint_degree
 
+    @classmethod
+    def poseidon_config(cls, **kw) -> "CircuitConfig":
+        """Wide-trace config fitting the 142-wire PoseidonGate (the analogue
+        of plonky2's 135-wire standard_recursion_config)."""
+        kw.setdefault("num_wires", 144)
+        return cls(**kw)
+
 
 # selector sentinel for rows whose gate is in another selector group
 UNUSED_SELECTOR = (1 << 32) - 1

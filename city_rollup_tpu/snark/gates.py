@@ -133,6 +133,51 @@ class ConstantGate(Gate):
             set_wire(t, constants[t] % P)
 
 
+class BaseSumGate(Gate):
+    """Binary decomposition: wire[0] == sum_i wire[1+i] * 2^i, each wire[1+i]
+    binary. The range-check workhorse (plonky2 BaseSumGate<2> twin; the
+    reference's u32 RangeCheckGate / ComparisonGate balance checks reduce to
+    this — SURVEY.md §2.2 u32 custom gates)."""
+
+    degree = 2
+
+    def __init__(self, num_bits: int):
+        self.num_bits = num_bits
+        self.key = f"base_sum<{num_bits}>"
+        self.num_constraints = 1 + num_bits
+
+    def eval_host(self, wires, constants, pi_hash):
+        acc = (0, 0)
+        for i in range(self.num_bits):
+            b = wires[1 + i]
+            acc = gl64_ext.h_add(acc, gl64_ext.h_mul((pow(2, i, P), 0), b))
+        out = [_h_sub(acc, wires[0])]
+        one = (1, 0)
+        for i in range(self.num_bits):
+            b = wires[1 + i]
+            out.append(gl64_ext.h_mul(b, _h_sub(b, one)))
+        return out
+
+    def eval_vec(self, wires, constants, pi_hash, ops=NpOps):
+        acc = ops.const(0, wires[0])
+        for i in range(self.num_bits):
+            acc = ops.add(acc, ops.mul(wires[1 + i],
+                                       ops.const(pow(2, i, P), wires[0])))
+        out = [ops.sub(acc, wires[0])]
+        one = ops.const(1, wires[0])
+        for i in range(self.num_bits):
+            b = wires[1 + i]
+            out.append(ops.mul(b, ops.sub(b, one)))
+        return out
+
+    def generate(self, row, get, set_wire, constants=None):
+        v = get(0)
+        if v is None:
+            return
+        for i in range(self.num_bits):
+            set_wire(1 + i, (v >> i) & 1)
+
+
 class PublicInputGate(Gate):
     """Wires 0..3 must equal the public-inputs hash vector (the verifier
     recomputes it from the claimed public inputs and substitutes it here).

@@ -62,6 +62,15 @@ class Proof:
 # Host helpers
 # ---------------------------------------------------------------------------
 
+def public_inputs_hash(pis: list[int]) -> list[int]:
+    """<=4 PIs pass through zero-padded; more are Poseidon-hashed (matches
+    CircuitBuilder.build's public-input wiring)."""
+    from ..core import poseidon_host
+    pis = [int(v) % P for v in pis]
+    if len(pis) > 4:
+        return poseidon_host.hash_no_pad(pis)
+    return (pis + [0, 0, 0, 0])[:4]
+
 def np_cumprod_mod(a: np.ndarray) -> np.ndarray:
     """Inclusive cumulative product mod p along the last axis (Hillis-Steele,
     O(n log n) vectorized muls)."""
@@ -231,7 +240,7 @@ def prove(data: CircuitData, pw: PartialWitness) -> Proof:
     # 1. witness + public inputs
     wires = generate_witness(data, pw)                       # (W, n)
     pis = [pw.get(t) or 0 for t in pd.pi_targets]
-    pi_hash = (pis + [0, 0, 0, 0])[:4]
+    pi_hash = public_inputs_hash(pis)
 
     # 2. wire commitment
     wire_coeffs, wire_ldes = interp_and_lde(wires, log_n, rate_bits)

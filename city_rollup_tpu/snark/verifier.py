@@ -37,7 +37,8 @@ def verify(proof: Proof, common: CommonData, vd: VerifierData) -> bool:
 
     if len(proof.public_inputs) != common.num_public_inputs:
         return False
-    pi_hash = ([v % P for v in proof.public_inputs] + [0, 0, 0, 0])[:4]
+    from .prover import public_inputs_hash
+    pi_hash = public_inputs_hash(proof.public_inputs)
 
     # ---- replay transcript --------------------------------------------------
     ch = Challenger()
