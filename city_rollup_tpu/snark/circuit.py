@@ -179,7 +179,15 @@ class CircuitBuilder:
         self._arith_gate = ArithmeticGate(
             self.config.num_routed_wires // 4)
         self._const_gate = ConstantGate(self.config.num_constants)
+        self.generators: list = []
         self._built = False
+
+    def add_generator(self, fn):
+        """Register a custom witness generator fn(pw) run to fixpoint with
+        the gate generators (plonky2 iop::generator SimpleGenerator role).
+        fn reads targets via pw.get (None = not yet known) and writes via
+        pw.set; it is re-run until the witness stops growing."""
+        self.generators.append(fn)
 
     # -- rows ------------------------------------------------------------
     def add_gate(self, gate: Gate, constants: tuple = ()) -> int:
@@ -516,6 +524,7 @@ def generate_witness(data: CircuitData, pw: PartialWitness) -> np.ndarray:
     rows = data.prover.rows
     cfg = data.common.config
     n = data.common.n
+    custom_gens = getattr(getattr(data, "_builder", None), "generators", [])
     for _ in range(len(rows) + 2):
         changed = False
         for r, inst in enumerate(rows):
@@ -533,6 +542,10 @@ def generate_witness(data: CircuitData, pw: PartialWitness) -> np.ndarray:
                     changed = True
 
             inst.gate.generate(r, get, set_wire, constants=inst.constants)
+        before = len(pw._vals)
+        for gen in custom_gens:
+            gen(pw)
+        changed = changed or len(pw._vals) != before
         if not changed:
             break
 
