@@ -49,11 +49,19 @@ class _UnionFind:
         self.parent: dict = {}
 
     def find(self, x):
-        p = self.parent.get(x, x)
-        if p == x:
-            return x
-        root = self.find(p)
-        self.parent[x] = root
+        # iterative with full path compression (recursion would overflow on
+        # the multi-thousand-element classes a recursive verifier creates)
+        parent = self.parent
+        root = x
+        while True:
+            p = parent.get(root, root)
+            if p == root:
+                break
+            root = p
+        while x != root:
+            nxt = parent[x]
+            parent[x] = root
+            x = nxt
         return root
 
     def union(self, a, b):
@@ -180,7 +188,23 @@ class CircuitBuilder:
             self.config.num_routed_wires // 4)
         self._const_gate = ConstantGate(self.config.num_constants)
         self.generators: list = []
+        self.declared_gates: list[Gate] = []
         self._built = False
+
+    # -- shared-shape machinery (reference: add_city_common_gates +
+    #    pad_circuit_degree, city_common_circuit/src/builder/pad_circuit.rs) --
+    def declare_gate(self, gate: Gate):
+        """Pin `gate` into the circuit's gate set (and selector groups) even
+        if no row instantiates it. Circuits declaring the same gate list in
+        the same order and built with the same `min_log_n` share one
+        CommonData — the invariant that lets one aggregation circuit verify
+        any sibling proof (SURVEY.md §2.2 gate-set padding)."""
+        if all(g.key != gate.key for g in self.declared_gates):
+            self.declared_gates.append(gate)
+
+    def declare_gates(self, gates):
+        for g in gates:
+            self.declare_gate(g)
 
     def add_generator(self, fn):
         """Register a custom witness generator fn(pw) run to fixpoint with
@@ -377,7 +401,10 @@ class CircuitBuilder:
         self.range_check(self.sub(b, a), num_bits)
 
     # -- build ------------------------------------------------------------------
-    def build(self) -> CircuitData:
+    def build(self, min_log_n: int | None = None) -> CircuitData:
+        """Build circuit data. `min_log_n` pads the row count to at least
+        2^min_log_n (pad_circuit_degree twin) so sibling circuits share one
+        proof shape."""
         assert not self._built
         self._built = True
         cfg = self.config
@@ -403,15 +430,27 @@ class CircuitBuilder:
         # pad to power-of-two rows (noop rows)
         n_rows = len(self.rows)
         log_n = max(3, (n_rows - 1).bit_length())
+        if min_log_n is not None:
+            assert log_n <= min_log_n, (
+                f"circuit has {n_rows} rows (2^{log_n}) — exceeds the shared "
+                f"shape's 2^{min_log_n}")
+            log_n = min_log_n
         n = 1 << log_n
         rows: list[GateInstance | None] = list(self.rows) + \
             [None] * (n - n_rows)
 
-        # unique gates + selector groups (greedy, order of first appearance)
+        # unique gates + selector groups: declared gates first (canonical,
+        # shape-shared), then any others by first appearance
         gates: list[Gate] = []
         gate_index: dict[str, int] = {}
+        for g in self.declared_gates:
+            gate_index[g.key] = len(gates)
+            gates.append(g)
         for inst in rows:
             if inst and inst.gate.key not in gate_index:
+                assert not self.declared_gates, (
+                    f"gate {inst.gate.key} used but missing from the "
+                    "declared (shape-shared) gate set")
                 gate_index[inst.gate.key] = len(gates)
                 gates.append(inst.gate)
         selector_groups: list[list[int]] = []

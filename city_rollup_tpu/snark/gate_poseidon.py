@@ -26,9 +26,7 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
-
-from ..core import gl64, gl64_ext
+from ..core import gl64
 from ..core import poseidon_params as params
 from .gates import Gate
 
@@ -88,49 +86,6 @@ def _partial_affine():
     return sbox_in_vecs, state
 
 
-# ---------------------------------------------------------------------------
-# Evaluation algebras (host extension field / numpy-u64 vectors)
-# ---------------------------------------------------------------------------
-
-class _HostExtAlg:
-    add = staticmethod(gl64_ext.h_add)
-    mul = staticmethod(gl64_ext.h_mul)
-
-    @staticmethod
-    def sub(a, b):
-        return ((a[0] - b[0]) % P, (a[1] - b[1]) % P)
-
-    @staticmethod
-    def cmul(c, x):
-        return gl64_ext.h_mul((c % P, 0), x)
-
-    @staticmethod
-    def cadd(c, x):
-        return ((x[0] + c) % P, x[1])
-
-    @staticmethod
-    def const_like(c, x):
-        return (c % P, 0)
-
-
-class _NpAlg:
-    add = staticmethod(gl64.np_add)
-    sub = staticmethod(gl64.np_sub)
-    mul = staticmethod(gl64.np_mul)
-
-    @staticmethod
-    def cmul(c, x):
-        return gl64.np_mul(x, np.uint64(c % P))
-
-    @staticmethod
-    def cadd(c, x):
-        return gl64.np_add(x, np.full(np.shape(x), c % P, dtype=np.uint64))
-
-    @staticmethod
-    def const_like(c, x):
-        return np.full(np.shape(x), c % P, dtype=np.uint64)
-
-
 def _pow7(alg, x):
     x2 = alg.mul(x, x)
     x3 = alg.mul(x2, x)
@@ -162,7 +117,7 @@ class PoseidonGate(Gate):
     degree = 7
     num_constraints = 2 * HF * W12 + NPR + W12   # 130
 
-    def _eval(self, wires, alg):
+    def eval_alg(self, wires, constants, pi_hash, alg):
         rc = params.ALL_ROUND_CONSTANTS
         cons = []
         # initial full rounds 0..3
@@ -200,12 +155,6 @@ class PoseidonGate(Gate):
             cons.extend(alg.sub(tgt[i], nxt[i]) for i in range(W12))
             state = tgt
         return cons
-
-    def eval_host(self, wires, constants, pi_hash):
-        return self._eval(wires, _HostExtAlg)
-
-    def eval_vec(self, wires, constants, pi_hash, ops=None):
-        return self._eval(wires, _NpAlg)
 
     def generate(self, row, get, set_wire, constants=None):
         from ..core import poseidon_host

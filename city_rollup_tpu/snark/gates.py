@@ -1,39 +1,26 @@
-"""Gate library: per-row polynomial constraints with dual evaluators.
+"""Gate library: per-row polynomial constraints, written once against the
+algebra interface (snark/algebra.py) and evaluated in three backends:
 
-Each gate implements
-  * ``eval_host`` — exact python-int extension-field evaluation at one point
-    (the verifier's check at zeta, and the spec for the in-circuit verifier);
-  * ``eval_vec``  — the same constraints over the whole 8n coset LDE domain,
-    written against an ``ops`` backend (numpy-u64 today; the JAX/Pallas pair
-    backend plugs into the same interface). This is the TPU replacement for
-    plonky2's `eval_unfiltered_base_batch` vectorized gate kernels
-    (reference: the 8 custom u32 gates implement that trait, SURVEY.md §2.2).
+  * host extension points (the verifier's check at zeta),
+  * numpy-u64 vectors over the LDE domain (the prover's quotient pass),
+  * extension *targets* (the in-circuit recursive verifier — gadgets.py).
+
+This is the TPU replacement for plonky2's triple
+`eval_unfiltered / eval_unfiltered_base_batch / eval_unfiltered_circuit`
+gate methods (reference: the 8 custom u32 gates implement that trait,
+SURVEY.md §2.2; gate list pinned by `add_city_common_gates`,
+city_common_circuit/src/builder/pad_circuit.rs:25-56).
 
 Wire layout conventions are per-gate, documented on each class.
 """
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..core import gl64, gl64_ext
+from .algebra import HostExtAlg, NpAlg, lift_host, lift_np
 
 P = gl64.P
-
-
-class NpOps:
-    """Vector backend over numpy uint64 arrays (exact mod-p)."""
-    add = staticmethod(gl64.np_add)
-    sub = staticmethod(gl64.np_sub)
-    mul = staticmethod(gl64.np_mul)
-
-    @staticmethod
-    def const(v: int, like):
-        return np.full(np.shape(like), v % P, dtype=np.uint64)
-
-
-def _h_sub(a, b):
-    return ((a[0] - b[0]) % P, (a[1] - b[1]) % P)
+W_EXT = gl64_ext.W                  # X^2 = 7
 
 
 class Gate:
@@ -48,14 +35,20 @@ class Gate:
     def num_ops(self) -> int:
         return 1
 
-    def eval_host(self, wires, constants, pi_hash):
-        """wires/constants: lists of ext (int,int); pi_hash: 4 base ints.
-        Returns list of ext constraint values (len == num_constraints)."""
+    def eval_alg(self, wires, constants, pi_hash, alg):
+        """wires/constants/pi_hash: lists of algebra elements. Returns the
+        list of constraint values (len == num_constraints)."""
         raise NotImplementedError
 
-    def eval_vec(self, wires, constants, pi_hash, ops=NpOps):
-        """wires/constants: lists of backend arrays over the LDE domain."""
-        raise NotImplementedError
+    def eval_host(self, wires, constants, pi_hash):
+        """wires/constants: ext (int, int) tuples; pi_hash: 4 base ints."""
+        return self.eval_alg(wires, constants,
+                             [lift_host(int(v)) for v in pi_hash], HostExtAlg)
+
+    def eval_vec(self, wires, constants, pi_hash, ops=None):
+        """wires/constants: numpy-u64 arrays over the LDE domain."""
+        pi = [lift_np(int(v), wires[0]) for v in pi_hash]
+        return self.eval_alg(wires, constants, pi, NpAlg)
 
     # witness generation: fill this row's derived wires
     def generate(self, row, get, set_wire, constants=None):
@@ -78,25 +71,14 @@ class ArithmeticGate(Gate):
     def num_ops(self) -> int:
         return self._num_ops
 
-    def eval_host(self, wires, constants, pi_hash):
+    def eval_alg(self, wires, constants, pi_hash, alg):
         c0, c1 = constants[0], constants[1]
         out = []
         for t in range(self._num_ops):
             a, b, d, o = (wires[4 * t], wires[4 * t + 1],
                           wires[4 * t + 2], wires[4 * t + 3])
-            term = gl64_ext.h_add(gl64_ext.h_mul(c0, gl64_ext.h_mul(a, b)),
-                                  gl64_ext.h_mul(c1, d))
-            out.append(_h_sub(term, o))
-        return out
-
-    def eval_vec(self, wires, constants, pi_hash, ops=NpOps):
-        c0, c1 = constants[0], constants[1]
-        out = []
-        for t in range(self._num_ops):
-            a, b, d, o = (wires[4 * t], wires[4 * t + 1],
-                          wires[4 * t + 2], wires[4 * t + 3])
-            term = ops.add(ops.mul(c0, ops.mul(a, b)), ops.mul(c1, d))
-            out.append(ops.sub(term, o))
+            term = alg.add(alg.mul(c0, alg.mul(a, b)), alg.mul(c1, d))
+            out.append(alg.sub(term, o))
         return out
 
     def generate(self, row, get, set_wire, constants=None):
@@ -122,11 +104,8 @@ class ConstantGate(Gate):
     def num_ops(self) -> int:
         return self._n
 
-    def eval_host(self, wires, constants, pi_hash):
-        return [_h_sub(wires[t], constants[t]) for t in range(self._n)]
-
-    def eval_vec(self, wires, constants, pi_hash, ops=NpOps):
-        return [ops.sub(wires[t], constants[t]) for t in range(self._n)]
+    def eval_alg(self, wires, constants, pi_hash, alg):
+        return [alg.sub(wires[t], constants[t]) for t in range(self._n)]
 
     def generate(self, row, get, set_wire, constants=None):
         for t in range(self._n):
@@ -146,28 +125,14 @@ class BaseSumGate(Gate):
         self.key = f"base_sum<{num_bits}>"
         self.num_constraints = 1 + num_bits
 
-    def eval_host(self, wires, constants, pi_hash):
-        acc = (0, 0)
+    def eval_alg(self, wires, constants, pi_hash, alg):
+        acc = alg.cmul(0, wires[0])
+        for i in range(self.num_bits):
+            acc = alg.add(acc, alg.cmul(pow(2, i, P), wires[1 + i]))
+        out = [alg.sub(acc, wires[0])]
         for i in range(self.num_bits):
             b = wires[1 + i]
-            acc = gl64_ext.h_add(acc, gl64_ext.h_mul((pow(2, i, P), 0), b))
-        out = [_h_sub(acc, wires[0])]
-        one = (1, 0)
-        for i in range(self.num_bits):
-            b = wires[1 + i]
-            out.append(gl64_ext.h_mul(b, _h_sub(b, one)))
-        return out
-
-    def eval_vec(self, wires, constants, pi_hash, ops=NpOps):
-        acc = ops.const(0, wires[0])
-        for i in range(self.num_bits):
-            acc = ops.add(acc, ops.mul(wires[1 + i],
-                                       ops.const(pow(2, i, P), wires[0])))
-        out = [ops.sub(acc, wires[0])]
-        one = ops.const(1, wires[0])
-        for i in range(self.num_bits):
-            b = wires[1 + i]
-            out.append(ops.mul(b, ops.sub(b, one)))
+            out.append(alg.mul(b, alg.cadd(P - 1, b)))
         return out
 
     def generate(self, row, get, set_wire, constants=None):
@@ -187,9 +152,150 @@ class PublicInputGate(Gate):
     degree = 1
     num_constraints = 4
 
-    def eval_host(self, wires, constants, pi_hash):
-        return [_h_sub(wires[i], (pi_hash[i], 0)) for i in range(4)]
+    def eval_alg(self, wires, constants, pi_hash, alg):
+        return [alg.sub(wires[i], pi_hash[i]) for i in range(4)]
 
-    def eval_vec(self, wires, constants, pi_hash, ops=NpOps):
-        return [ops.sub(wires[i], ops.const(pi_hash[i], wires[i]))
-                for i in range(4)]
+
+class ReducingGate(Gate):
+    """k-step Horner reduction with base-field values and an extension
+    accumulator: acc := acc * alpha + v_i, for i = 0..k-1 in wire order.
+
+    One row replaces k extension mul-adds — the workhorse of the in-circuit
+    FRI batch-opening sums (reference: plonky2 ReducingGate(43) pinned into
+    every city-rollup circuit, pad_circuit.rs:25-56).
+
+    Routed wires: [0..2) acc_in, [2..4) acc_out, [4..6) alpha (ext),
+    [6..6+k) values (base). Unrouted: [6+k..) intermediate accumulators
+    (k-1 ext pairs).
+    """
+
+    degree = 2
+
+    def __init__(self, num_steps: int):
+        self.num_steps = num_steps
+        self.key = f"reducing<{num_steps}>"
+        self.num_constraints = 2 * num_steps
+
+    COL_ACC_IN = 0
+    COL_ACC_OUT = 2
+    COL_ALPHA = 4
+    COL_VALS = 6
+
+    def col_intermediate(self, i: int) -> int:
+        return self.COL_VALS + self.num_steps + 2 * i
+
+    def num_wires(self) -> int:
+        return self.COL_VALS + self.num_steps + 2 * (self.num_steps - 1)
+
+    def num_routed(self) -> int:
+        return self.COL_VALS + self.num_steps
+
+    def _acc(self, wires, i: int):
+        """(a0, a1) wires of accumulator state i (0 = acc_in, k = acc_out)."""
+        if i == 0:
+            return wires[self.COL_ACC_IN], wires[self.COL_ACC_IN + 1]
+        if i == self.num_steps:
+            return wires[self.COL_ACC_OUT], wires[self.COL_ACC_OUT + 1]
+        c = self.col_intermediate(i - 1)
+        return wires[c], wires[c + 1]
+
+    def eval_alg(self, wires, constants, pi_hash, alg):
+        al0, al1 = wires[self.COL_ALPHA], wires[self.COL_ALPHA + 1]
+        cons = []
+        for i in range(self.num_steps):
+            a0, a1 = self._acc(wires, i)
+            n0, n1 = self._acc(wires, i + 1)
+            v = wires[self.COL_VALS + i]
+            c0 = alg.add(alg.add(alg.mul(a0, al0),
+                                 alg.cmul(W_EXT, alg.mul(a1, al1))), v)
+            c1 = alg.add(alg.mul(a0, al1), alg.mul(a1, al0))
+            cons.append(alg.sub(c0, n0))
+            cons.append(alg.sub(c1, n1))
+        return cons
+
+    def generate(self, row, get, set_wire, constants=None):
+        acc = (get(self.COL_ACC_IN), get(self.COL_ACC_IN + 1))
+        alpha = (get(self.COL_ALPHA), get(self.COL_ALPHA + 1))
+        if None in acc or None in alpha:
+            return
+        for i in range(self.num_steps):
+            v = get(self.COL_VALS + i)
+            if v is None:
+                return
+            acc = gl64_ext.h_mul(acc, alpha)
+            acc = ((acc[0] + v) % P, acc[1])
+            if i < self.num_steps - 1:
+                c = self.col_intermediate(i)
+                set_wire(c, acc[0])
+                set_wire(c + 1, acc[1])
+            else:
+                set_wire(self.COL_ACC_OUT, acc[0])
+                set_wire(self.COL_ACC_OUT + 1, acc[1])
+
+
+class ReducingExtGate(Gate):
+    """Like ReducingGate but with extension-field values:
+    acc := acc * alpha + v_i, v_i ext. Routed: acc_in(2), acc_out(2),
+    alpha(2), values (2k). (plonky2 ReducingExtensionGate(32) twin.)"""
+
+    degree = 2
+
+    def __init__(self, num_steps: int):
+        self.num_steps = num_steps
+        self.key = f"reducing_ext<{num_steps}>"
+        self.num_constraints = 2 * num_steps
+
+    COL_ACC_IN = 0
+    COL_ACC_OUT = 2
+    COL_ALPHA = 4
+    COL_VALS = 6
+
+    def col_intermediate(self, i: int) -> int:
+        return self.COL_VALS + 2 * self.num_steps + 2 * i
+
+    def num_wires(self) -> int:
+        return self.COL_VALS + 2 * self.num_steps + 2 * (self.num_steps - 1)
+
+    def num_routed(self) -> int:
+        return self.COL_VALS + 2 * self.num_steps
+
+    def _acc(self, wires, i: int):
+        if i == 0:
+            return wires[self.COL_ACC_IN], wires[self.COL_ACC_IN + 1]
+        if i == self.num_steps:
+            return wires[self.COL_ACC_OUT], wires[self.COL_ACC_OUT + 1]
+        c = self.col_intermediate(i - 1)
+        return wires[c], wires[c + 1]
+
+    def eval_alg(self, wires, constants, pi_hash, alg):
+        al0, al1 = wires[self.COL_ALPHA], wires[self.COL_ALPHA + 1]
+        cons = []
+        for i in range(self.num_steps):
+            a0, a1 = self._acc(wires, i)
+            n0, n1 = self._acc(wires, i + 1)
+            v0 = wires[self.COL_VALS + 2 * i]
+            v1 = wires[self.COL_VALS + 2 * i + 1]
+            c0 = alg.add(alg.add(alg.mul(a0, al0),
+                                 alg.cmul(W_EXT, alg.mul(a1, al1))), v0)
+            c1 = alg.add(alg.add(alg.mul(a0, al1), alg.mul(a1, al0)), v1)
+            cons.append(alg.sub(c0, n0))
+            cons.append(alg.sub(c1, n1))
+        return cons
+
+    def generate(self, row, get, set_wire, constants=None):
+        acc = (get(self.COL_ACC_IN), get(self.COL_ACC_IN + 1))
+        alpha = (get(self.COL_ALPHA), get(self.COL_ALPHA + 1))
+        if None in acc or None in alpha:
+            return
+        for i in range(self.num_steps):
+            v = (get(self.COL_VALS + 2 * i), get(self.COL_VALS + 2 * i + 1))
+            if None in v:
+                return
+            acc = gl64_ext.h_add(gl64_ext.h_mul(acc, alpha), v)
+            if i < self.num_steps - 1:
+                c = self.col_intermediate(i)
+                set_wire(c, acc[0])
+                set_wire(c + 1, acc[1])
+            else:
+                set_wire(self.COL_ACC_OUT, acc[0])
+                set_wire(self.COL_ACC_OUT + 1, acc[1])
