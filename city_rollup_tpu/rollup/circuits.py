@@ -1,168 +1,300 @@
-"""Worker circuit toolbox: build every op/aggregation/dummy circuit once at
-startup and dispatch proving jobs by circuit type.
+"""Worker circuit toolbox: build every op/aggregation/dummy/block circuit
+once at startup and dispatch proving jobs by circuit type.
 
 Reference role: city_rollup_circuit/src/worker/toolbox (SURVEY.md §2.10) —
-`CRWorkerToolboxCoreCircuits` builds all circuits up front (deriving
-fingerprints) and `worker_prove` dispatches on `job_id.circuit_type`.
+`CRWorkerToolboxCoreCircuits` builds all circuits up front (deriving every
+fingerprint) and `worker_prove` dispatches on `job_id.circuit_type`.
 
-Round-1 scope (documented, see snark/ docstrings): op circuits prove the op's
-balance/nonce arithmetic and expose the state-transition hash as public
-inputs; aggregation nodes natively verify child proofs and prove the
-condensed transition (the in-circuit recursive verifier is the next
-milestone — SURVEY.md §7 hard part (a)). The pipeline shape, job flow, and
-proof-at-every-node invariant match the reference.
+Round-2 semantics: every proof is real — op circuits verify delta-Merkle
+state updates in-circuit, aggregation nodes recursively verify their
+children's FRI proofs against the family's shared proof shape, and the
+block circuits chain the per-family spans into one
+(old city root -> new city root) claim. See op_circuits.py.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import json
+import pickle
 
-from ..core import fri, poseidon_host
+from ..core import fri
 from ..snark import CircuitBuilder, CircuitConfig
 from ..snark import prover as snark_prover
 from ..snark import verifier as snark_verifier
+from ..snark.recursion import fingerprint_verifier_data
+from . import op_circuits as oc
 from .job_id import CircuitType
+from .merkle_model import DeltaMerkleProof
 from .treeprover import AggStateTransition
 
-# proving config for rollup circuits (tests shrink FRI via this knob)
-DEFAULT_CONFIG = CircuitConfig()
-FAST_TEST_CONFIG = CircuitConfig(
+# proving config for rollup circuits (tests shrink FRI + tree heights)
+DEFAULT_CONFIG = CircuitConfig.poseidon_config()
+FAST_TEST_CONFIG = CircuitConfig.poseidon_config(
     num_challenges=1,
-    fri=fri.FriConfig(rate_bits=3, cap_height=2, proof_of_work_bits=4,
-                      num_query_rounds=6, final_poly_bits=3))
+    fri=fri.FriConfig(rate_bits=3, cap_height=1, proof_of_work_bits=4,
+                      num_query_rounds=4, final_poly_bits=3))
+
+DEFAULT_PARAMS = oc.RollupParams(config=DEFAULT_CONFIG)
+FAST_TEST_PARAMS = oc.RollupParams(
+    config=FAST_TEST_CONFIG, user_tree_height=8, deposit_tree_height=8,
+    withdrawal_tree_height=8)
+
+SHAPE_A_OPS = {
+    "register": oc.make_register_user,
+    "claim": oc.make_claim_l1_deposit,
+    "transfer": oc.make_l2_transfer,
+    "add_withdrawal": oc.make_add_l1_withdrawal,
+}
+SHAPE_B_OPS = {
+    "process_withdrawal": oc.make_process_l1_withdrawal,
+    "add_deposit": oc.make_add_l1_deposit,
+}
+
+OP_NAME_BY_TYPE = {
+    CircuitType.OP_REGISTER_USER: "register",
+    CircuitType.OP_CLAIM_L1_DEPOSIT: "claim",
+    CircuitType.OP_L2_TRANSFER: "transfer",
+    CircuitType.OP_ADD_L1_WITHDRAWAL: "add_withdrawal",
+    CircuitType.OP_PROCESS_L1_WITHDRAWAL: "process_withdrawal",
+    CircuitType.OP_ADD_L1_DEPOSIT: "add_deposit",
+}
+FAMILY_BY_AGG = {
+    CircuitType.AGG_REGISTER_USER: "register",
+    CircuitType.AGG_CLAIM_L1_DEPOSIT: "claim",
+    CircuitType.AGG_L2_TRANSFER: "transfer",
+    CircuitType.AGG_ADD_L1_WITHDRAWAL: "add_withdrawal",
+    CircuitType.AGG_PROCESS_L1_WITHDRAWAL: "process_withdrawal",
+    CircuitType.AGG_ADD_L1_DEPOSIT: "add_deposit",
+}
+FAMILY_BY_DUMMY = {
+    CircuitType.DUMMY_REGISTER_USER: "register",
+    CircuitType.DUMMY_CLAIM_L1_DEPOSIT: "claim",
+    CircuitType.DUMMY_L2_TRANSFER: "transfer",
+    CircuitType.DUMMY_ADD_L1_WITHDRAWAL: "add_withdrawal",
+    CircuitType.DUMMY_PROCESS_L1_WITHDRAWAL: "process_withdrawal",
+    CircuitType.DUMMY_ADD_L1_DEPOSIT: "add_deposit",
+}
+SHAPE_BY_FAMILY = {"register": "A", "claim": "A", "transfer": "A",
+                   "add_withdrawal": "A", "process_withdrawal": "B",
+                   "add_deposit": "B"}
 
 
 def transition_pis(t: AggStateTransition) -> list[int]:
     return [int(x) for x in t.transition_hash()]
 
 
-@dataclasses.dataclass
-class BuiltCircuit:
-    data: object                 # snark CircuitData
-    builder: CircuitBuilder
-    targets: dict                # name -> target
-
-
-def _build_transition_circuit(config: CircuitConfig,
-                              op: CircuitType) -> BuiltCircuit:
-    """One circuit per op family. All share one shape: 4 public-input felts =
-    Poseidon(transition.start, transition.end) (computed by the planner and
-    natively re-checked by verifying actors), plus op-specific arithmetic."""
-    b = CircuitBuilder(config)
-    pis = b.add_virtual_targets(4)
-    b.register_public_inputs(pis)
-    targets = {"pi": pis}
-
-    if op == CircuitType.OP_L2_TRANSFER:
-        sender_bal = b.add_virtual_target()
-        recv_bal = b.add_virtual_target()
-        amount = b.add_virtual_target()
-        nonce = b.add_virtual_target()
-        new_sender = b.sub(sender_bal, amount)
-        new_recv = b.add(recv_bal, amount)
-        new_nonce = b.add_const(nonce, 1)
-        targets.update(sender_bal=sender_bal, recv_bal=recv_bal,
-                       amount=amount, nonce=nonce, new_sender=new_sender,
-                       new_recv=new_recv, new_nonce=new_nonce)
-    elif op in (CircuitType.OP_CLAIM_L1_DEPOSIT,
-                CircuitType.OP_ADD_L1_WITHDRAWAL):
-        bal = b.add_virtual_target()
-        value = b.add_virtual_target()
-        fee = b.add_virtual_target()
-        if op == CircuitType.OP_CLAIM_L1_DEPOSIT:
-            # balance += value - fee
-            new_bal = b.sub(b.add(bal, value), fee)
-        else:
-            # balance -= value + fee
-            new_bal = b.sub(bal, b.add(value, fee))
-        targets.update(bal=bal, value=value, fee=fee, new_bal=new_bal)
-    else:
-        # register_user / process_withdrawal / add_deposit / aggregators /
-        # dummies: pure transition claims (plus PI routing)
-        x = b.add_virtual_target()
-        targets.update(x=x, xx=b.square(x))
-
-    data = b.build()
-    return BuiltCircuit(data=data, builder=b, targets=targets)
-
-
-OP_TYPES = [CircuitType.OP_REGISTER_USER, CircuitType.OP_CLAIM_L1_DEPOSIT,
-            CircuitType.OP_L2_TRANSFER, CircuitType.OP_ADD_L1_WITHDRAWAL,
-            CircuitType.OP_PROCESS_L1_WITHDRAWAL,
-            CircuitType.OP_ADD_L1_DEPOSIT]
-AGG_TYPES_LIST = [CircuitType.AGG_REGISTER_USER,
-                  CircuitType.AGG_CLAIM_L1_DEPOSIT,
-                  CircuitType.AGG_L2_TRANSFER,
-                  CircuitType.AGG_ADD_L1_WITHDRAWAL,
-                  CircuitType.AGG_PROCESS_L1_WITHDRAWAL,
-                  CircuitType.AGG_ADD_L1_DEPOSIT]
-BLOCK_TYPES = [CircuitType.BLOCK_AGG_STATE_PART_1,
-               CircuitType.BLOCK_AGG_STATE_PART_2,
-               CircuitType.BLOCK_STATE_TRANSITION]
-
-
 class CircuitToolbox:
-    """Builds all circuits once; proves/verifies by circuit type."""
+    """Builds both shape families + block circuits; proves/verifies by
+    circuit type. Build order mirrors the reference's explicit dependency
+    chain (circuits.rs:87-95): leaf ops -> family aggregators -> block
+    aggregators -> block state transition."""
 
-    def __init__(self, config: CircuitConfig | None = None):
-        self.config = config or DEFAULT_CONFIG
-        self._circuits: dict[int, BuiltCircuit] = {}
+    def __init__(self, params: oc.RollupParams | None = None):
+        self.params = params or DEFAULT_PARAMS
+        self._family_a = None
+        self._family_b = None
+        self._block = None
 
-    def _get(self, circuit_type: int) -> BuiltCircuit:
-        """Lazy build-and-cache (circuit builds cost seconds; the reference
-        builds its toolbox eagerly at worker startup — call prewarm() for
-        that behavior)."""
-        ct = int(circuit_type)
-        if CircuitType.DUMMY_REGISTER_USER <= ct <= \
-                CircuitType.DUMMY_ADD_L1_DEPOSIT:
-            # dummies share their op family's aggregator shape
-            ct = int(AGG_TYPES_LIST[ct - int(CircuitType.DUMMY_REGISTER_USER)])
-        if ct not in self._circuits:
-            self._circuits[ct] = _build_transition_circuit(
-                self.config, CircuitType(ct))
-        return self._circuits[ct]
+    # -- lazy family/block builds ------------------------------------------------
+    @property
+    def family_a(self) -> oc.ShapeFamily:
+        if self._family_a is None:
+            self._family_a = oc.build_shape_family(self.params, SHAPE_A_OPS,
+                                                   with_events=False)
+        return self._family_a
+
+    @property
+    def family_b(self) -> oc.ShapeFamily:
+        if self._family_b is None:
+            self._family_b = oc.build_shape_family(self.params, SHAPE_B_OPS,
+                                                   with_events=True)
+        return self._family_b
+
+    def _family_for(self, name: str) -> oc.ShapeFamily:
+        return self.family_a if SHAPE_BY_FAMILY[name] == "A" else \
+            self.family_b
+
+    def family_fps(self, name: str) -> oc.FamilyFps:
+        fam = self._family_for(name)
+        return oc.FamilyFps(
+            leaf=tuple(fingerprint_verifier_data(
+                fam.leaves[name].data.verifier)),
+            agg=tuple(fingerprint_verifier_data(fam.agg.data.verifier)),
+            dummy=tuple(fingerprint_verifier_data(fam.dummy.data.verifier)))
+
+    def allowed_root(self, name: str) -> tuple:
+        return self.family_fps(name).allowed_root
+
+    @property
+    def block(self) -> dict:
+        """{'part1','part2','transition'} -> (data, targets)."""
+        if self._block is None:
+            fps = {n: self.family_fps(n) for n in SHAPE_BY_FAMILY}
+            b1 = CircuitBuilder(self.params.config)
+            t1 = oc.make_block_part1(b1, self.family_a.common, fps,
+                                     self.params)
+            d1 = b1.build()
+            b2 = CircuitBuilder(self.params.config)
+            t2 = oc.make_block_part2(b2, self.family_a.common,
+                                     self.family_b.common, fps, self.params)
+            d2 = b2.build()
+            b3 = CircuitBuilder(self.params.config)
+            t3 = oc.make_block_transition(b3, d1, d2, self.params)
+            d3 = b3.build()
+            self._block = {"part1": (d1, t1, b1), "part2": (d2, t2, b2),
+                           "transition": (d3, t3, b3)}
+        return self._block
 
     def prewarm(self):
-        for ct in OP_TYPES + AGG_TYPES_LIST + BLOCK_TYPES:
-            self._get(ct)
+        self.family_a, self.family_b, self.block
 
-    def fingerprint(self, circuit_type: int) -> tuple:
-        return self._get(circuit_type).data.verifier.circuit_digest
-
-    def prove(self, circuit_type: int, witness: dict,
-              transition: AggStateTransition) -> snark_prover.Proof:
-        built = self._get(circuit_type)
-        pw = built.builder.partial_witness()
-        pi_vals = transition_pis(transition)
-        for t, v in zip(built.targets["pi"], pi_vals):
-            pw.set(t, v)
-        for name, val in witness.items():
-            if name in built.targets and name != "pi":
-                pw.set(built.targets[name], int(val))
+    # -- proving -----------------------------------------------------------------
+    def prove_op(self, name: str, witness: dict) -> snark_prover.Proof:
+        fam = self._family_for(name)
+        built = fam.leaves[name]
+        pw = built.data._builder.partial_witness()
+        wit = dict(witness)
+        wit.setdefault("allowed_root", self.allowed_root(name))
+        built.setter(pw, wit)
         return snark_prover.prove(built.data, pw)
 
-    def verify(self, circuit_type: int, proof: snark_prover.Proof) -> bool:
-        built = self._get(circuit_type)
-        return snark_verifier.verify(proof, built.data.common,
-                                     built.data.verifier)
+    def prove_dummy(self, name: str, state_root) -> snark_prover.Proof:
+        fam = self._family_for(name)
+        pw = fam.dummy.data._builder.partial_witness()
+        fam.dummy.setter(pw, {"state_root": state_root,
+                              "allowed_root": self.allowed_root(name)})
+        return snark_prover.prove(fam.dummy.data, pw)
+
+    def prove_agg(self, name: str, children: list) -> snark_prover.Proof:
+        """children: two (proof, kind, (start, end)) with kind in
+        {'leaf','agg','dummy'}."""
+        fam = self._family_for(name)
+        vd_by_kind = {"leaf": fam.leaves[name].data.verifier,
+                      "agg": fam.agg.data.verifier,
+                      "dummy": fam.dummy.data.verifier}
+        pw = fam.agg.data._builder.partial_witness()
+        oc.set_tree_agg_witness(
+            pw, fam.agg.targets, self.family_fps(name).as_dict(),
+            [(proof, vd_by_kind[kind], kind, span)
+             for proof, kind, span in children])
+        return snark_prover.prove(fam.agg.data, pw)
+
+    def prove_block_part1(self, proofs: dict, kinds: dict,
+                          u_roots: list, d_roots: list) -> snark_prover.Proof:
+        """proofs/kinds: per family name in (register, claim, transfer);
+        u_roots = [u_a..u_d], d_roots = [d_a, d_b]."""
+        data, targets, builder = self.block["part1"]
+        pw = builder.partial_witness()
+        fam = self.family_a
+        for name in ("register", "claim", "transfer"):
+            fps = self.family_fps(name)
+            vd = {"leaf": fam.leaves[name].data.verifier,
+                  "agg": fam.agg.data.verifier,
+                  "dummy": fam.dummy.data.verifier}[kinds[name]]
+            oc.set_child_witness(
+                pw, targets["slots"][name], fps.enum(), proofs[name], vd,
+                fingerprint_verifier_data(vd))
+        for ts, root in zip(targets["u"], u_roots):
+            for t, v in zip(ts, root):
+                pw.set(t, int(v))
+        for ts, root in zip(targets["d"], d_roots):
+            for t, v in zip(ts, root):
+                pw.set(t, int(v))
+        return snark_prover.prove(data, pw)
+
+    def prove_block_part2(self, proofs: dict, kinds: dict, u_roots: list,
+                          w_roots: list, d_roots: list) -> snark_prover.Proof:
+        data, targets, builder = self.block["part2"]
+        pw = builder.partial_witness()
+        for name in ("add_withdrawal", "process_withdrawal", "add_deposit"):
+            fam = self._family_for(name)
+            fps = self.family_fps(name)
+            vd = {"leaf": fam.leaves[name].data.verifier,
+                  "agg": fam.agg.data.verifier,
+                  "dummy": fam.dummy.data.verifier}[kinds[name]]
+            oc.set_child_witness(
+                pw, targets["slots"][name], fps.enum(), proofs[name], vd,
+                fingerprint_verifier_data(vd))
+        for ts, root in zip(targets["u"], u_roots):
+            for t, v in zip(ts, root):
+                pw.set(t, int(v))
+        for ts, root in zip(targets["w"], w_roots):
+            for t, v in zip(ts, root):
+                pw.set(t, int(v))
+        for ts, root in zip(targets["d"], d_roots):
+            for t, v in zip(ts, root):
+                pw.set(t, int(v))
+        return snark_prover.prove(data, pw)
+
+    def prove_block_transition(self, part1_proof, part2_proof, u_roots,
+                               w_roots, d_roots) -> snark_prover.Proof:
+        from ..snark import recursion
+        data, targets, builder = self.block["transition"]
+        pw = builder.partial_witness()
+        recursion.set_proof_witness(pw, targets["pt1"], part1_proof)
+        recursion.set_proof_witness(pw, targets["pt2"], part2_proof)
+        for group, roots in (("u", u_roots), ("w", w_roots), ("d", d_roots)):
+            for ts, root in zip(targets[group], roots):
+                for t, v in zip(ts, root):
+                    pw.set(t, int(v))
+        return snark_prover.prove(data, pw)
+
+    # -- verification -------------------------------------------------------------
+    def verify_family_proof(self, name: str, proof) -> bool:
+        """Verify a leaf/agg/dummy proof of the family's shared shape: the
+        proof's PI[0:4] must be the family's allowed root, and verification
+        is attempted against each admissible verifier data."""
+        fam = self._family_for(name)
+        if tuple(proof.public_inputs[0:4]) != \
+                tuple(self.allowed_root(name)):
+            return False
+        for built in (fam.leaves[name], fam.agg, fam.dummy):
+            if snark_verifier.verify(proof, fam.common, built.data.verifier):
+                return True
+        return False
+
+    def verify_block_proof(self, which: str, proof) -> bool:
+        data = self.block[which][0]
+        return snark_verifier.verify(proof, data.common, data.verifier)
 
 
 # -- proof/witness (de)serialization for the proof store ----------------------
 
+def delta_to_dict(d: DeltaMerkleProof) -> dict:
+    return {"old_root": list(d.old_root), "old_value": list(d.old_value),
+            "new_root": list(d.new_root), "new_value": list(d.new_value),
+            "index": d.index, "siblings": [list(s) for s in d.siblings]}
+
+
+def delta_from_dict(raw: dict) -> DeltaMerkleProof:
+    return DeltaMerkleProof(
+        old_root=tuple(raw["old_root"]), old_value=tuple(raw["old_value"]),
+        new_root=tuple(raw["new_root"]), new_value=tuple(raw["new_value"]),
+        index=raw["index"], siblings=[tuple(s) for s in raw["siblings"]])
+
+
 def encode_witness(payload: dict) -> bytes:
-    return json.dumps(payload).encode()
+    def enc(v):
+        if isinstance(v, DeltaMerkleProof):
+            return {"__delta__": delta_to_dict(v)}
+        if isinstance(v, tuple):
+            return list(v)
+        return v
+    return json.dumps({k: enc(v) for k, v in payload.items()}).encode()
 
 
 def decode_witness(raw: bytes) -> dict:
-    return json.loads(raw.decode())
+    def dec(v):
+        if isinstance(v, dict) and "__delta__" in v:
+            return delta_from_dict(v["__delta__"])
+        return v
+    return {k: dec(v) for k, v in json.loads(raw.decode()).items()}
 
 
 def encode_proof(proof: snark_prover.Proof) -> bytes:
-    import pickle
     return pickle.dumps(proof)
 
 
 def decode_proof(raw: bytes) -> snark_prover.Proof:
-    import pickle
     return pickle.loads(raw)

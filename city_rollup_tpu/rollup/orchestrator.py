@@ -1,26 +1,36 @@
 """Orchestrator: block production — apply requested ops to the CityStore,
-emit per-op witnesses, plan the aggregation-tree job DAG, enqueue the leaves,
-await completion, finalize.
+emit per-op delta-Merkle witnesses, plan the aggregation-tree job DAG,
+enqueue the leaves, await completion, finalize.
 
 Reference role: city_rollup_core_orchestrator (SURVEY.md §3.2/§3.3) —
-CityOrchestratorBlockPlanner::process_requests + plan_jobs. Transitions are
-claims over the CITY root (H(H(user,withdrawal),deposit)); deposit/withdrawal
-ops additionally accumulate event hashes, exactly like the reference's
-`_track_events` aggregators.
+CityOrchestratorBlockPlanner::process_requests (op application + witness
+emission, op_processor.rs) + plan_jobs (DAG wiring, job_planner.rs).
+
+Transition semantics match the new op circuits (op_circuits.py): per-tree
+spans, combined H(user,other) commitments for two-tree ops, and the block
+circuits' chaining of family spans into (old city root -> new city root).
+Odd aggregation levels are padded with dummy (identity-transition) leaf
+jobs instead of the reference's carried-up nodes — same proofs-per-level
+shape, simpler ID arithmetic.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
+from ..core import poseidon_host
 from .circuits import encode_witness
 from .city_store import CityStore
-from .job_id import CircuitType, JobDataType, JobID, JobTopic
+from .job_id import CircuitType, JobID, JobTopic
 from .proof_store import QProofStore
 from .queues import Q_JOB, QueueHub
-from .treeprover import (AggStateTransition, ZERO, generate_tree_inputs)
+from .treeprover import AggStateTransition, ZERO, generate_tree_inputs
 
 Digest = tuple[int, int, int, int]
+
+
+def _h2(a, b) -> Digest:
+    return tuple(poseidon_host.two_to_one(list(a), list(b)))
 
 
 # -- request types (the RPC ingress payloads, SURVEY.md §2.1 row 15) -----------
@@ -35,8 +45,9 @@ class RegisterUser:
 class ClaimDeposit:
     user_id: int
     deposit_id: int
+    txid224: Digest
+    public_key: Digest
     value: int
-    fee: int = 0
 
 
 @dataclasses.dataclass
@@ -52,7 +63,6 @@ class AddWithdrawal:
     withdrawal_id: int
     address: Digest
     value: int
-    fee: int = 0
 
 
 @dataclasses.dataclass
@@ -78,19 +88,31 @@ class BlockRequests:
     add_deposits: list = dataclasses.field(default_factory=list)
 
 
-OP_ORDER = [CircuitType.OP_REGISTER_USER, CircuitType.OP_CLAIM_L1_DEPOSIT,
-            CircuitType.OP_L2_TRANSFER, CircuitType.OP_ADD_L1_WITHDRAWAL,
-            CircuitType.OP_PROCESS_L1_WITHDRAWAL,
-            CircuitType.OP_ADD_L1_DEPOSIT]
-
-OP_TO_DUMMY = {
-    CircuitType.OP_REGISTER_USER: CircuitType.DUMMY_REGISTER_USER,
-    CircuitType.OP_CLAIM_L1_DEPOSIT: CircuitType.DUMMY_CLAIM_L1_DEPOSIT,
-    CircuitType.OP_L2_TRANSFER: CircuitType.DUMMY_L2_TRANSFER,
-    CircuitType.OP_ADD_L1_WITHDRAWAL: CircuitType.DUMMY_ADD_L1_WITHDRAWAL,
-    CircuitType.OP_PROCESS_L1_WITHDRAWAL:
-        CircuitType.DUMMY_PROCESS_L1_WITHDRAWAL,
-    CircuitType.OP_ADD_L1_DEPOSIT: CircuitType.DUMMY_ADD_L1_DEPOSIT,
+FAMILY_ORDER = ["register", "claim", "transfer", "add_withdrawal",
+                "process_withdrawal", "add_deposit"]
+OP_CT = {
+    "register": CircuitType.OP_REGISTER_USER,
+    "claim": CircuitType.OP_CLAIM_L1_DEPOSIT,
+    "transfer": CircuitType.OP_L2_TRANSFER,
+    "add_withdrawal": CircuitType.OP_ADD_L1_WITHDRAWAL,
+    "process_withdrawal": CircuitType.OP_PROCESS_L1_WITHDRAWAL,
+    "add_deposit": CircuitType.OP_ADD_L1_DEPOSIT,
+}
+AGG_CT = {
+    "register": CircuitType.AGG_REGISTER_USER,
+    "claim": CircuitType.AGG_CLAIM_L1_DEPOSIT,
+    "transfer": CircuitType.AGG_L2_TRANSFER,
+    "add_withdrawal": CircuitType.AGG_ADD_L1_WITHDRAWAL,
+    "process_withdrawal": CircuitType.AGG_PROCESS_L1_WITHDRAWAL,
+    "add_deposit": CircuitType.AGG_ADD_L1_DEPOSIT,
+}
+DUMMY_CT = {
+    "register": CircuitType.DUMMY_REGISTER_USER,
+    "claim": CircuitType.DUMMY_CLAIM_L1_DEPOSIT,
+    "transfer": CircuitType.DUMMY_L2_TRANSFER,
+    "add_withdrawal": CircuitType.DUMMY_ADD_L1_WITHDRAWAL,
+    "process_withdrawal": CircuitType.DUMMY_PROCESS_L1_WITHDRAWAL,
+    "add_deposit": CircuitType.DUMMY_ADD_L1_DEPOSIT,
 }
 
 
@@ -102,8 +124,8 @@ def _t_dict(t: AggStateTransition) -> dict:
 @dataclasses.dataclass
 class PlannedBlock:
     checkpoint_id: int
-    start_root: Digest
-    end_root: Digest
+    start_city_root: Digest
+    end_city_root: Digest
     leaf_jobs: list
     final_job: JobID
     notify_job: JobID
@@ -111,151 +133,194 @@ class PlannedBlock:
 
 
 class Orchestrator:
-    def __init__(self, city: CityStore, store: QProofStore, hub: QueueHub):
+    def __init__(self, city: CityStore, store: QProofStore, hub: QueueHub,
+                 params=None):
+        from .circuits import DEFAULT_PARAMS
         self.city = city
         self.store = store
         self.hub = hub
+        self.params = params or DEFAULT_PARAMS
 
     # -- op processor (op_processor.rs twin) -----------------------------------
-    def _apply_op(self, cp: int, ct: CircuitType, req):
-        """Mutate the CityStore; return (fields witness, event digest)."""
+    def _apply_op(self, cp: int, family: str, req):
+        """Mutate the CityStore; return (circuit witness fields, leaf
+        AggStateTransition matching the op circuit's PI semantics)."""
         c = self.city
-        if ct == CircuitType.OP_REGISTER_USER:
-            c.register_user(cp, req.user_id, req.public_key)
-            return {}, ZERO
-        if ct == CircuitType.OP_CLAIM_L1_DEPOSIT:
-            bal, _, _ = c.get_user_state(req.user_id, cp)
-            c.mark_deposit_as_claimed(cp, req.deposit_id)
-            c.increment_user_balance(cp, req.user_id, req.value - req.fee)
-            return {"bal": bal, "value": req.value, "fee": req.fee}, ZERO
-        if ct == CircuitType.OP_L2_TRANSFER:
-            sb, nonce, _ = c.get_user_state(req.from_user, cp)
-            rb, _, _ = c.get_user_state(req.to_user, cp)
-            c.decrement_user_balance(cp, req.from_user, req.value,
-                                     new_nonce=nonce + 1)
-            c.increment_user_balance(cp, req.to_user, req.value)
-            return {"sender_bal": sb, "recv_bal": rb, "amount": req.value,
-                    "nonce": nonce}, ZERO
-        if ct == CircuitType.OP_ADD_L1_WITHDRAWAL:
-            bal, _, _ = c.get_user_state(req.user_id, cp)
-            d = c.add_withdrawal(cp, req.withdrawal_id, req.address,
-                                 req.value)
-            c.decrement_user_balance(cp, req.user_id, req.value + req.fee)
-            return ({"bal": bal, "value": req.value, "fee": req.fee},
-                    d.new_value)
-        if ct == CircuitType.OP_PROCESS_L1_WITHDRAWAL:
-            d = c.mark_withdrawal_as_completed(cp, req.withdrawal_id)
-            return {}, d.old_value          # event: the withdrawal leaf
-        if ct == CircuitType.OP_ADD_L1_DEPOSIT:
-            d = c.add_deposit(cp, req.deposit_id, req.txid224,
-                              req.public_key, req.value)
-            return {}, d.new_value          # event: the deposit leaf
-        raise ValueError(ct)
+        if family == "register":
+            d = c.register_user(cp, req.user_id, req.public_key)
+            return ({"user_id": req.user_id, "user_delta": d},
+                    AggStateTransition(d.old_root, d.new_root, ZERO))
+        if family == "claim":
+            dep = c.mark_deposit_as_claimed(cp, req.deposit_id)
+            usr = c.increment_user_balance(
+                cp, req.user_id, req.value - self.params.deposit_fee)
+            return ({"user_id": req.user_id, "txid224": req.txid224,
+                     "public_key": req.public_key, "value": req.value,
+                     "deposit_delta": dep, "user_delta": usr},
+                    AggStateTransition(_h2(usr.old_root, dep.old_root),
+                                       _h2(usr.new_root, dep.new_root),
+                                       ZERO))
+        if family == "transfer":
+            _, nonce, _ = c.get_user_state(req.from_user, cp)
+            snd = c.decrement_user_balance(cp, req.from_user, req.value,
+                                           new_nonce=nonce + 1)
+            rcv = c.increment_user_balance(cp, req.to_user, req.value)
+            return ({"sender_id": req.from_user, "receiver_id": req.to_user,
+                     "value": req.value, "sender_delta": snd,
+                     "receiver_delta": rcv},
+                    AggStateTransition(snd.old_root, rcv.new_root, ZERO))
+        if family == "add_withdrawal":
+            wd = c.add_withdrawal(cp, req.withdrawal_id, req.address,
+                                  req.value)
+            _, nonce, _ = c.get_user_state(req.user_id, cp)
+            usr = c.decrement_user_balance(
+                cp, req.user_id, req.value + self.params.withdrawal_fee,
+                new_nonce=nonce + 1)
+            return ({"user_id": req.user_id, "address": req.address,
+                     "value": req.value, "user_delta": usr,
+                     "withdrawal_delta": wd},
+                    AggStateTransition(_h2(usr.old_root, wd.old_root),
+                                       _h2(usr.new_root, wd.new_root),
+                                       ZERO))
+        if family == "process_withdrawal":
+            wd = c.mark_withdrawal_as_completed(cp, req.withdrawal_id)
+            return ({"withdrawal_delta": wd},
+                    AggStateTransition(wd.old_root, wd.new_root,
+                                       wd.old_value))
+        if family == "add_deposit":
+            dep = c.add_deposit(cp, req.deposit_id, req.txid224,
+                                req.public_key, req.value)
+            return ({"txid224": req.txid224, "public_key": req.public_key,
+                     "value": req.value, "deposit_delta": dep},
+                    AggStateTransition(dep.old_root, dep.new_root,
+                                       dep.new_value))
+        raise ValueError(family)
 
     # -- block planner (planner.rs + job_planner.rs twin) -----------------------
     def plan_block(self, checkpoint_id: int,
                    requests: BlockRequests) -> PlannedBlock:
         cp = checkpoint_id
-        start_root = self.city.get_city_root(cp)
-        reqs_by_type = {
-            CircuitType.OP_REGISTER_USER: requests.register_users,
-            CircuitType.OP_CLAIM_L1_DEPOSIT: requests.claim_deposits,
-            CircuitType.OP_L2_TRANSFER: requests.token_transfers,
-            CircuitType.OP_ADD_L1_WITHDRAWAL: requests.add_withdrawals,
-            CircuitType.OP_PROCESS_L1_WITHDRAWAL:
-                requests.process_withdrawals,
-            CircuitType.OP_ADD_L1_DEPOSIT: requests.add_deposits,
+        city = self.city
+        reqs_by_family = {
+            "register": requests.register_users,
+            "claim": requests.claim_deposits,
+            "transfer": requests.token_transfers,
+            "add_withdrawal": requests.add_withdrawals,
+            "process_withdrawal": requests.process_withdrawals,
+            "add_deposit": requests.add_deposits,
         }
 
-        leaf_jobs_all: list[JobID] = []
-        root_jobs: list[JobID] = []
-        root_transitions: list[AggStateTransition] = []
-        num_jobs = 0
+        def roots():
+            return (city.user_tree.get_root(cp),
+                    city.withdrawal_tree.get_root(cp),
+                    city.deposit_tree.get_root(cp))
 
-        for group, ct in enumerate(OP_ORDER):
-            reqs = reqs_by_type[ct]
+        u_a, w_a, d_a = roots()
+        start_city_root = city.get_city_root(cp)
+
+        leaf_jobs_all: list[JobID] = []
+        root_jobs: dict[str, JobID] = {}
+        root_kinds: dict[str, str] = {}
+        num_jobs = 0
+        stage_roots = {}
+
+        for group, family in enumerate(FAMILY_ORDER):
+            reqs = reqs_by_family[family]
             leaves: list[AggStateTransition] = []
             leaf_jobs: list[JobID] = []
-            if reqs:
-                for i, req in enumerate(reqs):
-                    before = self.city.get_city_root(cp)
-                    fields, event = self._apply_op(cp, ct, req)
-                    after = self.city.get_city_root(cp)
-                    t = AggStateTransition(before, after, event)
-                    leaves.append(t)
-                    job = JobID(JobTopic.GENERATE_STANDARD_PROOF, cp,
-                                int(ct), group_id=group, sub_group_id=0,
-                                task_index=i)
-                    self.store.set_bytes(job.input_witness_id(),
-                                         encode_witness({
-                                             "transition": _t_dict(t),
-                                             "fields": fields}))
-                    leaf_jobs.append(job)
-            else:
-                root = self.city.get_city_root(cp)
-                t = AggStateTransition(root, root, ZERO)
+            kinds: list[str] = []
+            for i, req in enumerate(reqs):
+                fields, t = self._apply_op(cp, family, req)
                 leaves.append(t)
+                kinds.append("leaf")
                 job = JobID(JobTopic.GENERATE_STANDARD_PROOF, cp,
-                            int(OP_TO_DUMMY[ct]), group_id=group,
-                            sub_group_id=0, task_index=0)
-                self.store.set_bytes(job.input_witness_id(),
-                                     encode_witness({
-                                         "transition": _t_dict(t),
-                                         "fields": {}}))
+                            int(OP_CT[family]), group_id=group,
+                            sub_group_id=0, task_index=i)
+                self.store.set_bytes(job.input_witness_id(), encode_witness(
+                    dict(fields, transition=_t_dict(t))))
                 leaf_jobs.append(job)
 
-            # per-type binary aggregation tree
+            # family-end combined commitment: dummy identity point
+            u_now, w_now, d_now = roots()
+            dummy_x = {
+                "register": u_now,
+                "claim": _h2(u_now, d_now),
+                "transfer": u_now,
+                "add_withdrawal": _h2(u_now, w_now),
+                "process_withdrawal": w_now,
+                "add_deposit": d_now,
+            }[family]
+
+            # pad leaf count to a power of two with identity dummies (or a
+            # single dummy for an empty family)
+            want = 1 if not leaves else 1 << (len(leaves) - 1).bit_length()
+            while len(leaves) < want or not leaves:
+                t = AggStateTransition(dummy_x, dummy_x, ZERO)
+                job = JobID(JobTopic.GENERATE_STANDARD_PROOF, cp,
+                            int(DUMMY_CT[family]), group_id=group,
+                            sub_group_id=0, task_index=len(leaves))
+                self.store.set_bytes(job.input_witness_id(), encode_witness(
+                    {"family": family, "state_root": list(dummy_x),
+                     "transition": _t_dict(t)}))
+                leaves.append(t)
+                kinds.append("dummy")
+                leaf_jobs.append(job)
+
+            # per-family binary aggregation tree (perfect after padding)
             levels_inputs = generate_tree_inputs(leaves)
             levels_jobs: list[list[JobID]] = [leaf_jobs]
-            prev_jobs = leaf_jobs
-            agg_ct = (leaf_jobs[0].tree_parent().circuit_type
-                      if len(leaves) > 1 else None)
+            prev_jobs, prev_kinds = leaf_jobs, kinds
             for lvl, inputs in enumerate(levels_inputs, start=1):
                 jobs = []
+                nkinds = []
                 for inp in inputs:
+                    assert inp.right is not None, "padded tree is perfect"
                     job = JobID(JobTopic.GENERATE_STANDARD_PROOF, cp,
-                                int(agg_ct), group_id=group,
+                                int(AGG_CT[family]), group_id=group,
                                 sub_group_id=lvl, task_index=inp.index)
-                    children = [prev_jobs[inp.index * 2].hex()]
-                    child_ts = [_t_dict(inp.left)]
-                    if inp.right is not None:
-                        children.append(prev_jobs[inp.index * 2 + 1].hex())
-                        child_ts.append(_t_dict(inp.right))
-                    self.store.set_bytes(job.input_witness_id(),
-                                         encode_witness({
-                                             "transition":
-                                                 _t_dict(inp.condense()),
-                                             "children": children,
-                                             "child_transitions": child_ts}))
+                    self.store.set_bytes(
+                        job.input_witness_id(),
+                        encode_witness({
+                            "family": family,
+                            "children": [
+                                prev_jobs[inp.index * 2].hex(),
+                                prev_jobs[inp.index * 2 + 1].hex()],
+                            "child_kinds": [
+                                prev_kinds[inp.index * 2],
+                                prev_kinds[inp.index * 2 + 1]],
+                            "child_spans": [_t_dict(inp.left),
+                                            _t_dict(inp.right)],
+                            "transition": _t_dict(inp.condense())}))
                     jobs.append(job)
+                    nkinds.append("agg")
                 levels_jobs.append(jobs)
-                prev_jobs = jobs
-            # chain levels: completing all of level i releases level i+1;
-            # the root level's counter releases nothing (cross-type joins
-            # below release part1/part2)
+                prev_jobs, prev_kinds = jobs, nkinds
             self.store.write_multidimensional_jobs(levels_jobs, [])
-            root_jobs.append(prev_jobs[0])
-            # condensed per-type root transition
-            cur = leaves
-            for inputs in levels_inputs:
-                cur = [inp.condense() for inp in inputs]
-            root_transitions.append(cur[0])
+            root_jobs[family] = prev_jobs[0]
+            root_kinds[family] = prev_kinds[0]
             leaf_jobs_all.extend(leaf_jobs)
             num_jobs += sum(len(l) for l in levels_jobs)
 
-        # block aggregation: part1 (types 0..2), part2 (types 3..5), final
-        def _chain(ts):
-            t = ts[0]
-            for nxt in ts[1:]:
-                assert t.end == nxt.start
-                from .treeprover import combine_events
-                t = AggStateTransition(t.start, nxt.end,
-                                       combine_events(t.events, nxt.events))
-            return t
+            # record stage-boundary tree roots
+            if family == "register":
+                stage_roots["u_b"] = u_now
+            elif family == "claim":
+                stage_roots["u_c"], stage_roots["d_b"] = u_now, d_now
+            elif family == "transfer":
+                stage_roots["u_d"] = u_now
+            elif family == "add_withdrawal":
+                stage_roots["u_e"], stage_roots["w_b"] = u_now, w_now
+            elif family == "process_withdrawal":
+                stage_roots["w_c"] = w_now
+            elif family == "add_deposit":
+                stage_roots["d_c"] = d_now
 
-        part1_t = _chain(root_transitions[:3])
-        part2_t = _chain(root_transitions[3:])
-        final_t = _chain([part1_t, part2_t])
+        sr = stage_roots
+        u_roots = [u_a, sr["u_b"], sr["u_c"], sr["u_d"], sr["u_e"]]
+        w_roots = [w_a, sr["w_b"], sr["w_c"]]
+        d_roots = [d_a, sr["d_b"], sr["d_c"]]
+
+        # block aggregation: part1 (user-side families), part2, final
         part1 = JobID(JobTopic.GENERATE_STANDARD_PROOF, cp,
                       int(CircuitType.BLOCK_AGG_STATE_PART_1), group_id=100)
         part2 = JobID(JobTopic.GENERATE_STANDARD_PROOF, cp,
@@ -265,31 +330,45 @@ class Orchestrator:
         notify = JobID(JobTopic.NOTIFY_ORCHESTRATOR_COMPLETE, cp,
                        int(CircuitType.UNKNOWN), group_id=103)
 
-        for part_job, part_t, roots, rts in (
-                (part1, part1_t, root_jobs[:3], root_transitions[:3]),
-                (part2, part2_t, root_jobs[3:], root_transitions[3:])):
-            self.store.set_bytes(part_job.input_witness_id(), encode_witness({
-                "transition": _t_dict(part_t),
-                "children": [j.hex() for j in roots],
-                "child_transitions": [_t_dict(t) for t in rts]}))
-            self.store.write_next_jobs(roots, [part_job],
-                                       counter_id=part_job.counter_id())
+        self.store.set_bytes(part1.input_witness_id(), encode_witness({
+            "children": {f: root_jobs[f].hex()
+                         for f in ("register", "claim", "transfer")},
+            "kinds": {f: root_kinds[f]
+                      for f in ("register", "claim", "transfer")},
+            "u_roots": [list(r) for r in u_roots[:4]],
+            "d_roots": [list(r) for r in d_roots[:2]]}))
+        self.store.write_next_jobs(
+            [root_jobs[f] for f in ("register", "claim", "transfer")],
+            [part1], counter_id=part1.counter_id())
+
+        p2_families = ("add_withdrawal", "process_withdrawal", "add_deposit")
+        self.store.set_bytes(part2.input_witness_id(), encode_witness({
+            "children": {f: root_jobs[f].hex() for f in p2_families},
+            "kinds": {f: root_kinds[f] for f in p2_families},
+            "u_roots": [list(r) for r in u_roots[3:]],
+            "w_roots": [list(r) for r in w_roots],
+            "d_roots": [list(r) for r in d_roots[1:]]}))
+        self.store.write_next_jobs([root_jobs[f] for f in p2_families],
+                                   [part2], counter_id=part2.counter_id())
+
         self.store.set_bytes(final.input_witness_id(), encode_witness({
-            "transition": _t_dict(final_t),
             "children": [part1.hex(), part2.hex()],
-            "child_transitions": [_t_dict(part1_t), _t_dict(part2_t)]}))
+            "u_roots": [list(r) for r in u_roots],
+            "w_roots": [list(r) for r in w_roots],
+            "d_roots": [list(r) for r in d_roots]}))
         self.store.write_next_jobs([part1, part2], [final],
                                    counter_id=final.counter_id())
         self.store.write_next_jobs([final], [notify],
                                    counter_id=notify.counter_id())
         num_jobs += 3
 
-        end_root = self.city.get_city_root(cp)
-        assert final_t.start == start_root and final_t.end == end_root
-        return PlannedBlock(checkpoint_id=cp, start_root=start_root,
-                            end_root=end_root, leaf_jobs=leaf_jobs_all,
-                            final_job=final, notify_job=notify,
-                            num_jobs=num_jobs)
+        end_city_root = city.get_city_root(cp)
+        assert _h2(_h2(u_roots[4], w_roots[2]), d_roots[2]) == end_city_root
+        return PlannedBlock(checkpoint_id=cp,
+                            start_city_root=start_city_root,
+                            end_city_root=end_city_root,
+                            leaf_jobs=leaf_jobs_all, final_job=final,
+                            notify_job=notify, num_jobs=num_jobs)
 
     def enqueue(self, planned: PlannedBlock):
         for job in planned.leaf_jobs:
@@ -300,13 +379,13 @@ class Orchestrator:
         """Verify the block's final state-transition proof against the
         claimed city-root move (step_2 twin, without the L1 transaction)."""
         from .circuits import decode_proof
-        from ..core import poseidon_host
         raw = self.store.get_proof(planned.final_job.output_proof_id())
         if raw is None:
             return False
         proof = decode_proof(raw)
-        expected = poseidon_host.two_to_one(list(planned.start_root),
-                                            list(planned.end_root))
-        if proof.public_inputs != [int(x) for x in expected]:
+        pis = [int(x) for x in proof.public_inputs]
+        if pis[0:4] != [int(x) for x in planned.start_city_root]:
             return False
-        return toolbox.verify(planned.final_job.circuit_type, proof)
+        if pis[4:8] != [int(x) for x in planned.end_city_root]:
+            return False
+        return toolbox.verify_block_proof("transition", proof)

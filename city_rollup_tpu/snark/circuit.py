@@ -119,6 +119,36 @@ class CommonData:
         return [UNUSED_SELECTOR] + [t for t in group if t != gate_id]
 
 
+def compute_selector_groups(gates: list, cfg) -> list[list[int]]:
+    """Greedy selector-group packing: a group of k gates with max degree d
+    costs (k+1)+d <= max_constraint_degree per filtered constraint."""
+    selector_groups: list[list[int]] = []
+    cur_group: list[int] = []
+    cur_maxdeg = 0
+    for gid, g in enumerate(gates):
+        d = max(cur_maxdeg, g.degree)
+        if cur_group and (len(cur_group) + 1) + d > \
+                cfg.max_constraint_degree:
+            selector_groups.append(cur_group)
+            cur_group, cur_maxdeg = [], 0
+        cur_group.append(gid)
+        cur_maxdeg = max(cur_maxdeg, g.degree)
+    if cur_group:
+        selector_groups.append(cur_group)
+    return selector_groups
+
+
+def common_shape_key(common: CommonData) -> tuple:
+    """Structural identity of a proof shape: two circuits with equal keys
+    produce interchangeable proofs (plonky2's shared-CommonCircuitData
+    invariant — reference pad_circuit.rs:25-56 pins the gate set and
+    degree so sibling circuits share one shape)."""
+    return (common.config, common.log_n,
+            tuple(g.key for g in common.gates),
+            tuple(tuple(gr) for gr in common.selector_groups),
+            common.num_public_inputs)
+
+
 @dataclasses.dataclass
 class VerifierData:
     constants_sigmas_cap: np.ndarray    # (2^cap, 4) uint64
@@ -453,19 +483,7 @@ class CircuitBuilder:
                     "declared (shape-shared) gate set")
                 gate_index[inst.gate.key] = len(gates)
                 gates.append(inst.gate)
-        selector_groups: list[list[int]] = []
-        cur_group: list[int] = []
-        cur_maxdeg = 0
-        for gid, g in enumerate(gates):
-            d = max(cur_maxdeg, g.degree)
-            if cur_group and (len(cur_group) + 1) + d > \
-                    cfg.max_constraint_degree:
-                selector_groups.append(cur_group)
-                cur_group, cur_maxdeg = [], 0
-            cur_group.append(gid)
-            cur_maxdeg = max(cur_maxdeg, g.degree)
-        if cur_group:
-            selector_groups.append(cur_group)
+        selector_groups = compute_selector_groups(gates, cfg)
 
         common = CommonData(config=cfg, log_n=log_n, gates=gates,
                             selector_groups=selector_groups,
