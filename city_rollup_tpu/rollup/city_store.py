@@ -62,14 +62,17 @@ CLAIMED_MARKER: Digest = (1, 1, 1, 1)
 class CityStore:
     """Versioned rollup state over any KVQ backend."""
 
-    def __init__(self, store: KVQBinaryStore | None = None):
+    def __init__(self, store: KVQBinaryStore | None = None,
+                 user_tree_height: int = USER_TREE_HEIGHT,
+                 deposit_tree_height: int = DEPOSIT_TREE_HEIGHT,
+                 withdrawal_tree_height: int = WITHDRAWAL_TREE_HEIGHT):
         self.kv = store if store is not None else KVQMemoryStore()
         self.user_tree = VersionedMerkleTree(self.kv, TREE_USER,
-                                             USER_TREE_HEIGHT)
+                                             user_tree_height)
         self.deposit_tree = VersionedMerkleTree(self.kv, TREE_DEPOSIT,
-                                                DEPOSIT_TREE_HEIGHT)
+                                                deposit_tree_height)
         self.withdrawal_tree = VersionedMerkleTree(self.kv, TREE_WITHDRAWAL,
-                                                   WITHDRAWAL_TREE_HEIGHT)
+                                                   withdrawal_tree_height)
         self._block_states: dict[int, CityL2BlockState] = {}
 
     # -- roots ----------------------------------------------------------------

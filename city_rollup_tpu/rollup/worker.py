@@ -71,27 +71,58 @@ class Worker:
                 self.hub.dispatch(Q_JOB, nj.to_bytes())
 
     # -- proving ------------------------------------------------------------------
+    def _child_proof(self, job_hex: str):
+        child = JobID.from_bytes(bytes.fromhex(job_hex))
+        craw = self.store.get_proof(child.output_proof_id())
+        assert craw is not None, f"missing child proof {child}"
+        return decode_proof(craw)
+
     def prove_job(self, job: JobID):
+        """Dispatch on circuit type against the toolbox (worker_prove twin,
+        toolbox/root.rs:229-254). Aggregation and block nodes verify their
+        children IN-CIRCUIT (recursive FRI verification); the worker only
+        fetches witnesses + child proofs from the store."""
+        from .circuits import FAMILY_BY_AGG, FAMILY_BY_DUMMY, OP_NAME_BY_TYPE
+        from .job_id import CircuitType
         raw = self.store.get_bytes(job.input_witness_id())
         assert raw is not None, f"missing witness for {job}"
         w = decode_witness(raw)
-        transition = _transition_from(w["transition"])
+        ct = job.circuit_type
+        tb = self.toolbox
 
-        # aggregation/block nodes: natively verify children before proving the
-        # condensed claim (recursive in-circuit verification is the next
-        # milestone; the DAG/proof-at-every-node shape matches the reference)
-        for child_hex, child_t in zip(w.get("children", []),
-                                      w.get("child_transitions", [])):
-            child = JobID.from_bytes(bytes.fromhex(child_hex))
-            craw = self.store.get_proof(child.output_proof_id())
-            assert craw is not None, f"missing child proof {child}"
-            cproof = decode_proof(craw)
-            ct = _transition_from(child_t)
-            expected_pis = [int(x) for x in ct.transition_hash()]
-            if cproof.public_inputs != expected_pis:
-                raise ValueError(f"child {child} public inputs mismatch")
-            if not self.toolbox.verify(child.circuit_type, cproof):
-                raise ValueError(f"child proof {child} failed verification")
-
-        return self.toolbox.prove(job.circuit_type, w.get("fields", {}),
-                                  transition)
+        if ct in OP_NAME_BY_TYPE:
+            return tb.prove_op(OP_NAME_BY_TYPE[ct], w)
+        if ct in FAMILY_BY_DUMMY:
+            return tb.prove_dummy(FAMILY_BY_DUMMY[ct],
+                                  tuple(w["state_root"]))
+        if ct in FAMILY_BY_AGG:
+            children = [
+                (self._child_proof(ch), kind,
+                 (tuple(span["start"]), tuple(span["end"])))
+                for ch, kind, span in zip(w["children"], w["child_kinds"],
+                                          w["child_spans"])]
+            return tb.prove_agg(FAMILY_BY_AGG[ct], children)
+        if ct == CircuitType.BLOCK_AGG_STATE_PART_1:
+            proofs = {f: self._child_proof(h)
+                      for f, h in w["children"].items()}
+            return tb.prove_block_part1(
+                proofs, w["kinds"],
+                [tuple(r) for r in w["u_roots"]],
+                [tuple(r) for r in w["d_roots"]])
+        if ct == CircuitType.BLOCK_AGG_STATE_PART_2:
+            proofs = {f: self._child_proof(h)
+                      for f, h in w["children"].items()}
+            return tb.prove_block_part2(
+                proofs, w["kinds"],
+                [tuple(r) for r in w["u_roots"]],
+                [tuple(r) for r in w["w_roots"]],
+                [tuple(r) for r in w["d_roots"]])
+        if ct == CircuitType.BLOCK_STATE_TRANSITION:
+            p1 = self._child_proof(w["children"][0])
+            p2 = self._child_proof(w["children"][1])
+            return tb.prove_block_transition(
+                p1, p2,
+                [tuple(r) for r in w["u_roots"]],
+                [tuple(r) for r in w["w_roots"]],
+                [tuple(r) for r in w["d_roots"]])
+        raise ValueError(f"unknown circuit type {ct}")

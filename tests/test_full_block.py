@@ -9,7 +9,7 @@ Redis/Dogecoin.
 
 from city_rollup_tpu.core import poseidon_host
 from city_rollup_tpu.rollup import orchestrator as orch_mod
-from city_rollup_tpu.rollup.circuits import CircuitToolbox, FAST_TEST_CONFIG
+from city_rollup_tpu.rollup.circuits import CircuitToolbox, FAST_TEST_PARAMS
 from city_rollup_tpu.rollup.city_store import CityStore
 from city_rollup_tpu.rollup.job_id import JobID, JobTopic
 from city_rollup_tpu.rollup.proof_store import MemoryProofStore
@@ -18,16 +18,21 @@ from city_rollup_tpu.rollup.worker import Worker
 
 
 def test_full_block_in_memory():
-    city = CityStore()
+    p = FAST_TEST_PARAMS
+    city = CityStore(user_tree_height=p.user_tree_height,
+                     deposit_tree_height=p.deposit_tree_height,
+                     withdrawal_tree_height=p.withdrawal_tree_height)
     store = MemoryProofStore()
     hub = QueueHub()
-    toolbox = CircuitToolbox(FAST_TEST_CONFIG)
-    orch = orch_mod.Orchestrator(city, store, hub)
+    toolbox = CircuitToolbox(p)
+    orch = orch_mod.Orchestrator(city, store, hub, params=p)
 
     # genesis-ish setup at checkpoint 0: two funded users
+    wfee = orch.params.withdrawal_fee
     city.register_user(0, 0, (1, 1, 1, 1))
     city.register_user(0, 1, (2, 2, 2, 2))
     city.increment_user_balance(0, 0, 1000)
+    city.increment_user_balance(0, 1, wfee)
 
     reqs = orch_mod.BlockRequests(
         register_users=[orch_mod.RegisterUser(2, (3, 3, 3, 3))],
@@ -36,12 +41,12 @@ def test_full_block_in_memory():
         add_withdrawals=[orch_mod.AddWithdrawal(1, 0, (9, 9, 9, 9), 50)],
     )
     planned = orch.plan_block(1, reqs)
-    assert planned.start_root != planned.end_root
+    assert planned.start_city_root != planned.end_city_root
     orch.enqueue(planned)
 
-    # state applied correctly
+    # state applied correctly (withdrawal debits value + protocol fee)
     assert city.get_user_state(0, 1)[0] == 1000 - 250 - 100
-    assert city.get_user_state(1, 1)[0] == 250 + 100 - 50
+    assert city.get_user_state(1, 1)[0] == wfee + 250 + 100 - (50 + wfee)
 
     # one worker drains the whole DAG
     worker = Worker(toolbox, store, hub)
@@ -65,7 +70,7 @@ def test_full_block_in_memory():
     reqs2 = orch_mod.BlockRequests(
         token_transfers=[orch_mod.TokenTransfer(1, 0, 10)])
     planned2 = orch.plan_block(2, reqs2)
-    assert planned2.start_root == planned.end_root
+    assert planned2.start_city_root == planned.end_city_root
     orch.enqueue(planned2)
     while worker.process_next_job():
         pass
