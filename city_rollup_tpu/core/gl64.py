@@ -253,8 +253,27 @@ def exp7(a):
 
 
 def inverse(a):
-    """a^(p-2) — field inverse via Fermat (72 muls); fine off the hot path."""
-    return _pow_const(a, P - 2)
+    """a^(p-2) — field inverse via Fermat. Implemented as a lax.scan over
+    the 64 exponent bits (one square + one masked mul per step) instead of
+    an unrolled 126-mul chain: the unrolled graph takes ~15 s of XLA CPU
+    compile per process, the scan body compiles in <1 s, and inverse is off
+    the hot path (batch-inverted denominators use np_inverse)."""
+    import jax
+    import jax.numpy as jnp
+
+    e = P - 2
+    bits = jnp.array([(e >> i) & 1 for i in range(64)], dtype=jnp.uint32)
+
+    def step(carry, bit):
+        acc, base = carry
+        mul_acc = mul(acc, base)
+        acc = select(bit == 1, mul_acc, acc)
+        base = square(base)
+        return (acc, base), None
+
+    one_v = full(jnp.shape(a[0]), 1)
+    (acc, _), _ = jax.lax.scan(step, (one_v, a), bits)
+    return acc
 
 
 def eq(a, b):

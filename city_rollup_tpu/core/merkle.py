@@ -35,6 +35,26 @@ def hash_leaves(leaf_data):
     return poseidon.hash_no_pad(leaf_data)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _cpu_level_step(n: int):
+    """One compiled pairwise-compress step at fixed width n: input (n, 4)
+    digests -> output (n, 4) where the first n//2 rows are the parent
+    digests and the rest is padding (see MerkleTree.__init__ CPU path)."""
+
+    @jax.jit
+    def step(lo, hi):
+        left = (lo[0::2], hi[0::2])
+        right = (lo[1::2], hi[1::2])
+        plo, phi = poseidon.two_to_one(left, right)
+        return (jnp.concatenate([plo, plo], axis=0),
+                jnp.concatenate([phi, phi], axis=0))
+
+    return step
+
+
 class MerkleTree:
     """Host-held tree of device-computed levels.
 
@@ -51,13 +71,28 @@ class MerkleTree:
         self.cap_height = cap_height
         levels = [digests]
         cur = digests
-        while cur[0].shape[0] > (1 << cap_height):
+        if jax.default_backend() == "cpu":
+            # CPU (test) backend: every distinct shape is a fresh XLA
+            # compile (~10-40 s here), and a 2^17-leaf tree has 17 level
+            # shapes. Use ONE fixed-shape compiled step: operate on the
+            # full-width buffer each level (valid prefix halves; the tail
+            # computes garbage that is never read). ~2x redundant hashing,
+            # ~17x fewer compiles — compile time dominates on CPU.
             lo, hi = cur
             m = lo.shape[0]
-            left = (lo[0::2], hi[0::2])
-            right = (lo[1::2], hi[1::2])
-            cur = poseidon.two_to_one(left, right)
-            levels.append(cur)
+            step = _cpu_level_step(m)
+            while m > (1 << cap_height):
+                lo, hi = step(lo, hi)
+                m >>= 1
+                levels.append((lo[:m], hi[:m]))
+            cur = levels[-1]
+        else:
+            while cur[0].shape[0] > (1 << cap_height):
+                lo, hi = cur
+                left = (lo[0::2], hi[0::2])
+                right = (lo[1::2], hi[1::2])
+                cur = poseidon.two_to_one(left, right)
+                levels.append(cur)
         self.levels = levels
 
     @property

@@ -246,14 +246,20 @@ def ecdsa_verify(pk: ECDSAPublicKey, msg_hash: int,
 
 # --- wallet -----------------------------------------------------------------
 
-def combined_action_hash(pk: ECDSAPublicKey, msg_felts) -> list[int]:
-    """Poseidon(pubkey-felts ∥ msg-felts) — the public input convention of
-    the signature circuit (signature_circuit.rs:40-60)."""
-    pk_bytes = pk.to_bytes_compressed()
-    pk_felts = [int.from_bytes(pk_bytes[i:i + 4], "big")
-                for i in range(0, 32, 4)]
+def felts_of_u256(v: int) -> list[int]:
+    """256-bit int -> 6 felts of 48 LE bits each (the last carries 16) —
+    matches the in-circuit BigUintBuilder.pack_felts(_, 48) packing."""
+    return [(v >> (48 * i)) & ((1 << 48) - 1) for i in range(6)]
+
+
+def combined_action_hash(pk: ECDSAPublicKey, msg_hash: int) -> list[int]:
+    """Poseidon(pk.x felts ∥ y-parity ∥ msg felts) — the single public
+    input the secp256k1 signature circuit exposes (combined-hash
+    convention of signature_circuit.rs:40-60; packing shared with
+    snark/secp_gadgets.py combined_hash_gadget)."""
     return poseidon_host.hash_no_pad(
-        [f % gl64.P for f in pk_felts + list(msg_felts)])
+        felts_of_u256(pk.point.x) + [pk.point.y & 1] +
+        felts_of_u256(msg_hash % (1 << 256)))
 
 
 class Secp256K1Wallet:

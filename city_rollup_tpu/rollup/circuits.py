@@ -90,8 +90,20 @@ class CircuitToolbox:
     chain (circuits.rs:87-95): leaf ops -> family aggregators -> block
     aggregators -> block state transition."""
 
-    def __init__(self, params: oc.RollupParams | None = None):
+    def __init__(self, params: oc.RollupParams | None = None,
+                 with_signatures: bool = False):
+        """`with_signatures=True` builds the ZK-signature wrapper circuit
+        first and threads it into the op circuits, which then recursively
+        verify user signature proofs in-circuit (the reference's build
+        order: zk_signature_wrapper -> ops, circuits.rs:87-95)."""
         self.params = params or DEFAULT_PARAMS
+        self.zk_wrapper = None
+        if with_signatures and self.params.sig_wrapper is None:
+            from .zk_signature import ZKSignatureWrapperCircuit
+            self.zk_wrapper = ZKSignatureWrapperCircuit.build(
+                self.params.config)
+            self.params = dataclasses.replace(
+                self.params, sig_wrapper=self.zk_wrapper.data)
         self._family_a = None
         self._family_b = None
         self._block = None

@@ -43,7 +43,14 @@ ZERO4 = (0, 0, 0, 0)
 @dataclasses.dataclass
 class RollupParams:
     """Build-time knobs. Production mirrors rollup_constants.rs (heights 32);
-    tests shrink heights + FRI like the reference's dev-mode escapes."""
+    tests shrink heights + FRI like the reference's dev-mode escapes.
+
+    `sig_wrapper`: CircuitData of the ZK-signature wrapper circuit
+    (zk_signature.ZKSignatureWrapperCircuit). When set, the user-authorized
+    ops (l2_transfer, add_l1_withdrawal) recursively verify a wrapper proof
+    binding (sender pk, action hash) in-circuit — the reference's
+    "verifies inner proof" column in SURVEY.md §2.3. `l1_sig_circuit` plays
+    the same role for claim_l1_deposit's secp256k1 signature proof."""
     config: CircuitConfig
     user_tree_height: int = 32
     deposit_tree_height: int = 32
@@ -51,6 +58,8 @@ class RollupParams:
     network_magic: int = 0xD06E_0001
     deposit_fee: int = 100_000
     withdrawal_fee: int = 100_000
+    sig_wrapper: object = None          # CircuitData | None
+    l1_sig_circuit: object = None       # CircuitData | None
 
 
 def _hash2(a, b):
@@ -68,6 +77,19 @@ def _register_pis(b, allowed, transition, events=None):
     b.register_public_inputs(list(transition))
     if events is not None:
         b.register_public_inputs(list(events))
+
+
+def _verify_sig_proof(b, sig_data, pk, action):
+    """Recursively verify a ZK-signature wrapper proof binding (pk, action)
+    under the wrapper's constant verifier data (the reference verifies the
+    ZKSignatureWrapperCircuit proof inside l2_transfer/add_l1_withdrawal,
+    ops/l2_transfer/circuit.rs:158-183). Returns the proof targets."""
+    pt = recursion.add_virtual_proof(b, sig_data.common)
+    vdt = recursion.constant_verifier_data(b, sig_data.verifier)
+    recursion.verify_proof_gadget(b, pt, sig_data.common, vdt)
+    b.connect_hashes(pt.public_inputs[0:4], list(pk))
+    b.connect_hashes(pt.public_inputs[4:8], list(action))
+    return pt
 
 
 def make_register_user(b: CircuitBuilder, p: RollupParams):
@@ -126,6 +148,18 @@ def make_claim_l1_deposit(b: CircuitBuilder, p: RollupParams):
         b.zero(), list(txid224) + [value, fee])
     combined = og.sig_combined_hash(b, pk, action)
 
+    # the L1 key's signature proof: a circuit exposing [combined_hash(4)]
+    # as its public inputs (secp256k1 ECDSA proof in the reference; the
+    # proof shape is pluggable via params so the zk-wrapper can stand in
+    # until the secp gadget is wired — ops/claim_l1_deposit/mod.rs).
+    sig_pt = None
+    if p.l1_sig_circuit is not None:
+        pt = recursion.add_virtual_proof(b, p.l1_sig_circuit.common)
+        vdt = recursion.constant_verifier_data(b, p.l1_sig_circuit.verifier)
+        recursion.verify_proof_gadget(b, pt, p.l1_sig_circuit.common, vdt)
+        b.connect_hashes(pt.public_inputs[0:4], combined)
+        sig_pt = pt
+
     start = b.hash_two_to_one(user.old_root, dep.old_root)
     end = b.hash_two_to_one(user.new_root, dep.new_root)
     transition = b.hash_two_to_one(start, end)
@@ -142,6 +176,8 @@ def make_claim_l1_deposit(b: CircuitBuilder, p: RollupParams):
         og.set_delta_merkle_witness(pw, user, wit["user_delta"])
         for t, v in zip(allowed, wit["allowed_root"]):
             pw.set(t, v)
+        if sig_pt is not None:
+            recursion.set_proof_witness(pw, sig_pt, wit["l1_signature_proof"])
 
     return {"allowed": allowed, "combined_sig_hash": combined}, setter
 
@@ -177,6 +213,13 @@ def make_l2_transfer(b: CircuitBuilder, p: RollupParams):
         b, p.network_magic, sender_uid, og.SIG_ACTION_TRANSFER_MAGIC,
         new_nonce, [recv_uid, value])
 
+    # sender's stored pk is the level-0 sibling of the balance leaf (leaf
+    # 2*uid+1, written by register_user); the signature wrapper proof must
+    # bind exactly (that pk, this action hash).
+    sig_pt = None
+    if p.sig_wrapper is not None:
+        sig_pt = _verify_sig_proof(b, p.sig_wrapper, snd.siblings[0], action)
+
     transition = b.hash_two_to_one(snd.old_root, rcv.new_root)
     _register_pis(b, allowed, transition)
 
@@ -188,6 +231,8 @@ def make_l2_transfer(b: CircuitBuilder, p: RollupParams):
         og.set_delta_merkle_witness(pw, rcv, wit["receiver_delta"])
         for t, v in zip(allowed, wit["allowed_root"]):
             pw.set(t, v)
+        if sig_pt is not None:
+            recursion.set_proof_witness(pw, sig_pt, wit["signature_proof"])
 
     return {"allowed": allowed, "action_hash": action}, setter
 
@@ -221,6 +266,11 @@ def make_add_l1_withdrawal(b: CircuitBuilder, p: RollupParams):
         b, p.network_magic, uid, og.SIG_ACTION_ADD_WITHDRAWAL_MAGIC,
         new_nonce, list(address) + [value, b.constant(p.withdrawal_fee)])
 
+    sig_pt = None
+    if p.sig_wrapper is not None:
+        sig_pt = _verify_sig_proof(b, p.sig_wrapper, user.siblings[0],
+                                   action)
+
     start = b.hash_two_to_one(user.old_root, wd.old_root)
     end = b.hash_two_to_one(user.new_root, wd.new_root)
     transition = b.hash_two_to_one(start, end)
@@ -235,6 +285,8 @@ def make_add_l1_withdrawal(b: CircuitBuilder, p: RollupParams):
         og.set_delta_merkle_witness(pw, wd, wit["withdrawal_delta"])
         for t, v in zip(allowed, wit["allowed_root"]):
             pw.set(t, v)
+        if sig_pt is not None:
+            recursion.set_proof_witness(pw, sig_pt, wit["signature_proof"])
 
     return {"allowed": allowed, "action_hash": action}, setter
 

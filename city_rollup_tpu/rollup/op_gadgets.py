@@ -43,7 +43,7 @@ def split_le_bits(b: CircuitBuilder, t: Target, num_bits: int) -> list:
         for i, lt in enumerate(_limbs):
             pw.set(lt, (v >> (16 * i)) & 0xFFFF)
 
-    b.add_generator(gen)
+    b.add_generator(gen, deps=[t])
     bits = []
     for lt in limbs:
         bits.extend(split_le_16(b, lt))

@@ -155,24 +155,74 @@ class VerifierData:
     circuit_digest: tuple               # 4 ints
 
 
-@dataclasses.dataclass
 class ProverData:
-    rows: list                          # GateInstance per row (None = noop)
-    row_gate_id: list                   # int or None per row
-    sigmas: np.ndarray                  # (R, n) uint64 sigma column values
-    const_sigma_values: np.ndarray      # (S, n) values incl. selectors
-    const_sigma_coeffs: np.ndarray      # (S, n) coefficient form
-    const_sigma_ldes: np.ndarray        # (S, M) uint64
-    tree: merkle.MerkleTree
-    subgroup: np.ndarray                # g^row table (n,)
-    pi_targets: list
+    """Prover-side circuit data. The expensive preprocessing (coefficient
+    NTTs, coset LDE, Merkle commitment of the constants/sigmas) is LAZY:
+    circuit building for witness checks / shape probing stays cheap, and
+    the device passes run only when a proof (or the verifier cap/digest)
+    is actually needed."""
+
+    def __init__(self, rows, row_gate_id, sigmas, const_sigma_values,
+                 subgroup, pi_targets, log_n, rate_bits, cap_height):
+        self.rows = rows                          # GateInstance | None
+        self.row_gate_id = row_gate_id
+        self.sigmas = sigmas                      # (R, n) uint64
+        self.const_sigma_values = const_sigma_values   # (S, n)
+        self.subgroup = subgroup                  # g^row table (n,)
+        self.pi_targets = pi_targets
+        self._log_n = log_n
+        self._rate_bits = rate_bits
+        self._cap_height = cap_height
+        self._coeffs = None
+        self._ldes = None
+        self._tree = None
+
+    def _preprocess(self):
+        if self._tree is None:
+            coeffs, ldes = interp_and_lde(self.const_sigma_values,
+                                          self._log_n, self._rate_bits)
+            self._coeffs, self._ldes = coeffs, ldes
+            self._tree = merkle.MerkleTree(
+                gl64.from_u64(ldes.T),
+                cap_height=min(self._cap_height,
+                               self._log_n + self._rate_bits))
+
+    @property
+    def const_sigma_coeffs(self) -> np.ndarray:
+        self._preprocess()
+        return self._coeffs
+
+    @property
+    def const_sigma_ldes(self) -> np.ndarray:
+        self._preprocess()
+        return self._ldes
+
+    @property
+    def tree(self) -> merkle.MerkleTree:
+        self._preprocess()
+        return self._tree
 
 
-@dataclasses.dataclass
 class CircuitData:
-    common: CommonData
-    prover: ProverData
-    verifier: VerifierData
+    """common + prover + (lazily derived) verifier data."""
+
+    def __init__(self, common: CommonData, prover: ProverData):
+        self.common = common
+        self.prover = prover
+        self._verifier = None
+
+    @property
+    def verifier(self) -> VerifierData:
+        if self._verifier is None:
+            cfg = self.common.config
+            cap = self.prover.tree.cap_u64()
+            digest = tuple(poseidon_host.hash_no_pad(
+                [int(x) for x in cap.reshape(-1)] +
+                [self.common.log_n, cfg.num_routed_wires,
+                 cfg.num_constants, self.common.num_sel_cols]))
+            self._verifier = VerifierData(constants_sigmas_cap=cap,
+                                          circuit_digest=digest)
+        return self._verifier
 
 
 # ---------------------------------------------------------------------------
@@ -180,19 +230,25 @@ class CircuitData:
 # ---------------------------------------------------------------------------
 
 class PartialWitness:
-    """Target -> value map over copy-constraint classes."""
+    """Target -> value map over copy-constraint classes. Newly assigned
+    class roots are journaled so the witness scheduler can wake dependent
+    generators without a global fixpoint sweep."""
 
     def __init__(self, uf: _UnionFind):
         self._uf = uf
         self._vals: dict = {}
+        self.journal: list = []
 
     def set(self, t: Target, v: int):
         v = v % P
         r = self._uf.find(t)
         old = self._vals.get(r)
-        if old is not None and old != v:
-            raise ValueError(f"witness conflict at {t}: {old} vs {v}")
+        if old is not None:
+            if old != v:
+                raise ValueError(f"witness conflict at {t}: {old} vs {v}")
+            return
         self._vals[r] = v
+        self.journal.append(r)
 
     def get(self, t: Target) -> Optional[int]:
         return self._vals.get(self._uf.find(t))
@@ -236,12 +292,15 @@ class CircuitBuilder:
         for g in gates:
             self.declare_gate(g)
 
-    def add_generator(self, fn):
-        """Register a custom witness generator fn(pw) run to fixpoint with
-        the gate generators (plonky2 iop::generator SimpleGenerator role).
-        fn reads targets via pw.get (None = not yet known) and writes via
-        pw.set; it is re-run until the witness stops growing."""
-        self.generators.append(fn)
+    def add_generator(self, fn, deps: list | None = None):
+        """Register a custom witness generator fn(pw) (plonky2
+        iop::generator SimpleGenerator role). fn reads targets via pw.get
+        (None = not yet known) and writes via pw.set.
+
+        `deps`: the input targets fn needs before it can fully run. With
+        deps the scheduler runs fn exactly once, as soon as all deps have
+        values; without deps fn joins the (slow) fallback fixpoint loop."""
+        self.generators.append((fn, deps))
 
     # -- rows ------------------------------------------------------------
     def add_gate(self, gate: Gate, constants: tuple = ()) -> int:
@@ -533,26 +592,17 @@ class CircuitBuilder:
                 nxt = members[(j + 1) % len(members)]
                 sigmas[w.col, w.row] = pos_val[nxt.col, nxt.row]
 
-        # preprocessing polynomials: [selectors, constants, sigmas]
+        # preprocessing polynomials: [selectors, constants, sigmas].
+        # NTTs/LDE/Merkle commitment are deferred (ProverData._preprocess)
+        # so building circuits for witness checks / shape probing is cheap.
         values = np.concatenate([sel, consts, sigmas], axis=0)      # (S, n)
-        coeffs, ldes = interp_and_lde(values, log_n, cfg.rate_bits)
-        tree = merkle.MerkleTree(gl64.from_u64(ldes.T),
-                                 cap_height=min(cfg.fri.cap_height,
-                                                log_n + cfg.rate_bits))
-        cap = tree.cap_u64()
-        digest = tuple(poseidon_host.hash_no_pad(
-            [int(x) for x in cap.reshape(-1)] +
-            [log_n, R, cfg.num_constants, num_sel]))
-
         prover = ProverData(rows=rows, row_gate_id=row_gate_id,
                             sigmas=sigmas, const_sigma_values=values,
-                            const_sigma_coeffs=coeffs,
-                            const_sigma_ldes=ldes, tree=tree,
                             subgroup=subgroup,
-                            pi_targets=list(self.public_inputs))
-        verifier = VerifierData(constants_sigmas_cap=cap,
-                                circuit_digest=digest)
-        data = CircuitData(common=common, prover=prover, verifier=verifier)
+                            pi_targets=list(self.public_inputs),
+                            log_n=log_n, rate_bits=cfg.rate_bits,
+                            cap_height=cfg.fri.cap_height)
+        data = CircuitData(common=common, prover=prover)
         data._builder = self       # witness generation needs uf + rows
         return data
 
@@ -576,41 +626,113 @@ def interp_and_lde(values: np.ndarray, log_n: int, rate_bits: int
 
 
 def generate_witness(data: CircuitData, pw: PartialWitness) -> np.ndarray:
-    """Run gate generators to fixpoint, then materialize the (W, n) wire
-    matrix (reference role: plonky2 iop::generator, SURVEY.md §2.14)."""
+    """Run gate + custom generators with a dependency-driven scheduler,
+    then materialize the (W, n) wire matrix.
+
+    Reference role: plonky2 iop::generator (SURVEY.md §2.14, §7 hard part
+    (b) "witness generation's irregular dataflow"). Each generator declares
+    its input targets; the scheduler wakes a generator exactly once, when
+    its last input gains a value (O(generators + edges) instead of the
+    O(depth x rows) global fixpoint). Dep-less generators fall back to a
+    fixpoint loop, re-run only when the scheduled frontier is exhausted.
+    """
+    import collections
+
     rows = data.prover.rows
     cfg = data.common.config
     n = data.common.n
-    custom_gens = getattr(getattr(data, "_builder", None), "generators", [])
-    for _ in range(len(rows) + 2):
-        changed = False
-        for r, inst in enumerate(rows):
-            if inst is None:
-                continue
+    builder = getattr(data, "_builder", None)
+    custom_gens = getattr(builder, "generators", [])
+    uf = pw._uf
+    find = uf.find
 
-            def get(col, _r=r):
-                return pw.get(Wire(_r, col))
+    # -- build generator nodes ------------------------------------------------
+    node_fns: list = []
+    node_deps: list = []            # list[target] | None
 
-            def set_wire(col, v, _r=r):
-                nonlocal changed
-                w = Wire(_r, col)
-                if pw.get(w) != v % P:
-                    pw.set(w, v)
-                    changed = True
+    def add_node(fn, deps):
+        node_fns.append(fn)
+        node_deps.append(deps)
 
-            inst.gate.generate(r, get, set_wire, constants=inst.constants)
-        before = len(pw._vals)
-        for gen in custom_gens:
-            gen(pw)
-        changed = changed or len(pw._vals) != before
-        if not changed:
+    def make_gate_runner(r, inst, fn):
+        def runner(pw, _r=r, _c=inst.constants, _fn=fn):
+            def get(col, __r=_r):
+                return pw.get(Wire(__r, col))
+
+            def set_wire(col, v, __r=_r):
+                pw.set(Wire(__r, col), v)
+
+            _fn(_r, get, set_wire, constants=_c)
+        return runner
+
+    for r, inst in enumerate(rows):
+        if inst is None:
+            continue
+        for dep_cols, fn in inst.gate.sub_generators():
+            deps = (None if dep_cols is None else
+                    [Wire(r, c) for c in dep_cols])
+            add_node(make_gate_runner(r, inst, fn), deps)
+    for fn, deps in custom_gens:
+        add_node(fn, deps)
+
+    # -- schedule -------------------------------------------------------------
+    vals = pw._vals
+    remaining = [0] * len(node_fns)
+    waiting: dict = {}
+    ready = collections.deque()
+    fallback = []
+    for i, deps in enumerate(node_deps):
+        if deps is None:
+            fallback.append(i)
+            continue
+        unres = {find(t) for t in deps} - vals.keys()
+        remaining[i] = len(unres)
+        if not unres:
+            ready.append(i)
+        else:
+            for rt in unres:
+                waiting.setdefault(rt, []).append(i)
+
+    journal = pw.journal
+    jpos = len(journal)
+
+    def drain():
+        nonlocal jpos
+        while ready:
+            i = ready.popleft()
+            node_fns[i](pw)
+            while jpos < len(journal):
+                rt = journal[jpos]
+                jpos += 1
+                for j in waiting.pop(rt, ()):
+                    remaining[j] -= 1
+                    if remaining[j] == 0:
+                        ready.append(j)
+
+    drain()
+    while fallback:
+        before = len(journal)
+        for i in fallback:
+            node_fns[i](pw)
+        if len(journal) == before:
             break
+        while jpos < len(journal):
+            rt = journal[jpos]
+            jpos += 1
+            for j in waiting.pop(rt, ()):
+                remaining[j] -= 1
+                if remaining[j] == 0:
+                    ready.append(j)
+        drain()
 
+    # -- materialize (touch only wires that actually hold values) -------------
     W = cfg.num_wires
     mat = np.zeros((W, n), dtype=np.uint64)
-    for r in range(n):
-        for c in range(W):
-            v = pw.get(Wire(r, c))
-            if v is not None:
-                mat[c, r] = v
+    seen = set()
+    for t in list(uf.parent) + list(vals):
+        if type(t) is Wire and t not in seen:
+            seen.add(t)
+            v = vals.get(find(t))
+            if v is not None and t.col < W and t.row < n:
+                mat[t.col, t.row] = v
     return mat

@@ -95,7 +95,7 @@ class ExtGadgets:
             pw.set(_inv[0], i0)
             pw.set(_inv[1], i1)
 
-        bb.add_generator(gen)
+        bb.add_generator(gen, deps=[_a0 for _a0 in a])
         prod = self.mul(a, inv)
         bb.connect(prod[0], bb.one())
         bb.connect(prod[1], bb.zero())
@@ -150,7 +150,7 @@ def base_inverse(b: CircuitBuilder, x: Target) -> Target:
             return
         pw.set(_inv, pow(v, P - 2, P))
 
-    b.add_generator(gen)
+    b.add_generator(gen, deps=[x])
     b.connect(b.mul(x, inv), b.one())
     return inv
 
@@ -187,7 +187,7 @@ def split_le_64(b: CircuitBuilder, x: Target, *,
         for i, lt in enumerate(_limbs):
             pw.set(lt, (v >> (16 * i)) & 0xFFFF)
 
-    b.add_generator(gen)
+    b.add_generator(gen, deps=[x])
     bits = []
     for lt in limbs:
         bits.extend(split_le_16(b, lt))

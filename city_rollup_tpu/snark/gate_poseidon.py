@@ -187,3 +187,6 @@ class PoseidonGate(Gate):
             for i in range(W12):
                 set_wire(base + i, state[i])
             r += 1
+
+    def sub_generators(self):
+        return [([COL_IN + i for i in range(W12)], self.generate)]

@@ -55,6 +55,15 @@ class Gate:
         """get(col)->int reads an input wire; set_wire(col, value) writes."""
         pass
 
+    def sub_generators(self):
+        """[(dep_cols | None, fn(row, get, set_wire, constants))] — the
+        scheduler runs fn once when every dep col has a value; None deps
+        fall back to the fixpoint loop. Default: the whole-row generate()
+        as one dep-less node (gates without generators contribute none)."""
+        if type(self).generate is Gate.generate:
+            return []
+        return [(None, self.generate)]
+
 
 class ArithmeticGate(Gate):
     """num_ops independent ops: out = c0 * a * b + c1 * d, with shared
@@ -89,6 +98,16 @@ class ArithmeticGate(Gate):
                 continue
             set_wire(4 * t + 3, (c0 * a * b + c1 * d) % P)
 
+    def sub_generators(self):
+        def op_gen(t):
+            def fn(row, get, set_wire, constants=None, _t=t):
+                c0, c1 = constants[0], constants[1]
+                a, b, d = get(4 * _t), get(4 * _t + 1), get(4 * _t + 2)
+                set_wire(4 * _t + 3, (c0 * a * b + c1 * d) % P)
+            return fn
+        return [([4 * t, 4 * t + 1, 4 * t + 2], op_gen(t))
+                for t in range(self._num_ops)]
+
 
 class ConstantGate(Gate):
     """wire[t] == constant column t, for t < num_consts (routes circuit
@@ -110,6 +129,9 @@ class ConstantGate(Gate):
     def generate(self, row, get, set_wire, constants=None):
         for t in range(self._n):
             set_wire(t, constants[t] % P)
+
+    def sub_generators(self):
+        return [([], self.generate)]
 
 
 class BaseSumGate(Gate):
@@ -141,6 +163,9 @@ class BaseSumGate(Gate):
             return
         for i in range(self.num_bits):
             set_wire(1 + i, (v >> i) & 1)
+
+    def sub_generators(self):
+        return [([0], self.generate)]
 
 
 class PublicInputGate(Gate):
@@ -232,6 +257,12 @@ class ReducingGate(Gate):
                 set_wire(self.COL_ACC_OUT, acc[0])
                 set_wire(self.COL_ACC_OUT + 1, acc[1])
 
+    def sub_generators(self):
+        deps = [self.COL_ACC_IN, self.COL_ACC_IN + 1, self.COL_ALPHA,
+                self.COL_ALPHA + 1] + \
+            [self.COL_VALS + i for i in range(self.num_steps)]
+        return [(deps, self.generate)]
+
 
 class ReducingExtGate(Gate):
     """Like ReducingGate but with extension-field values:
@@ -299,3 +330,9 @@ class ReducingExtGate(Gate):
             else:
                 set_wire(self.COL_ACC_OUT, acc[0])
                 set_wire(self.COL_ACC_OUT + 1, acc[1])
+
+    def sub_generators(self):
+        deps = [self.COL_ACC_IN, self.COL_ACC_IN + 1, self.COL_ALPHA,
+                self.COL_ALPHA + 1] + \
+            [self.COL_VALS + i for i in range(2 * self.num_steps)]
+        return [(deps, self.generate)]

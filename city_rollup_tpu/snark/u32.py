@@ -80,7 +80,8 @@ class U32Builder:
         b.range_check(carry, carry_bits)
         b.add_generator(lambda pw, _t=total, _o=out, _c=carry: (
             None if pw.get(_t) is None else
-            (pw.set(_o, pw.get(_t) % B32), pw.set(_c, pw.get(_t) // B32))))
+            (pw.set(_o, pw.get(_t) % B32), pw.set(_c, pw.get(_t) // B32))),
+            deps=[total])
         return U32Target(out), U32Target(carry)
 
     def mul_add_u32(self, a: U32Target, b_: U32Target, c: U32Target
@@ -96,7 +97,8 @@ class U32Builder:
         b.range_check(hi, 32)
         b.add_generator(lambda pw, _t=total, _lo=lo, _hi=hi: (
             None if pw.get(_t) is None else
-            (pw.set(_lo, pw.get(_t) % B32), pw.set(_hi, pw.get(_t) // B32))))
+            (pw.set(_lo, pw.get(_t) % B32), pw.set(_hi, pw.get(_t) // B32))),
+            deps=[total])
         return U32Target(lo), U32Target(hi)
 
     def sub_u32(self, a: U32Target, b_: U32Target
@@ -115,7 +117,8 @@ class U32Builder:
                         _w=borrow: (
             None if pw.get(_a) is None or pw.get(_b) is None else
             (pw.set(_o, (pw.get(_a) - pw.get(_b)) % B32),
-             pw.set(_w, 1 if pw.get(_a) < pw.get(_b) else 0))))
+             pw.set(_w, 1 if pw.get(_a) < pw.get(_b) else 0))),
+            deps=[a.target, b_.target])
         return U32Target(out), U32Target(borrow)
 
     # -- comparison -----------------------------------------------------------
@@ -131,8 +134,24 @@ class U32Builder:
 
     # -- bitwise ---------------------------------------------------------------
     def split_bits(self, a: U32Target) -> list:
-        """32 LE bit targets of a (binary_u32.rs)."""
-        return self.b.split_le(a.target, 32)
+        """32 ROUTABLE LE bit targets of a (binary_u32.rs): two BaseSum(16)
+        rows (a single 32-bit row would park bit 31 in a non-routed
+        column)."""
+        from .gadgets import split_le_16
+        b = self.b
+        lo = b.add_virtual_target()
+        hi = b.add_virtual_target()
+
+        def gen(pw, _a=a.target, _lo=lo, _hi=hi):
+            v = pw.get(_a)
+            if v is None or pw.get(_lo) is not None:
+                return
+            pw.set(_lo, v & 0xFFFF)
+            pw.set(_hi, (v >> 16) & 0xFFFF)
+
+        b.add_generator(gen, deps=[a.target])
+        b.connect(b.arithmetic(1 << 16, 1, hi, b.one(), lo), a.target)
+        return split_le_16(b, lo) + split_le_16(b, hi)
 
     def from_bits(self, bits: list) -> U32Target:
         b = self.b

@@ -20,8 +20,8 @@ if not os.environ.get("CITY_TPU_TESTS"):
             " --xla_backend_optimization_level=1").strip()
     import jax
     jax.config.update("jax_platforms", "cpu")
-    # Persistent compile cache: FRI/Merkle trees touch many small shapes and
-    # the per-shape XLA compiles dominate test wall-clock on first run.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/city_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # NOTE: no persistent compile cache. XLA:CPU AOT cache entries embed
+    # compile-machine feature strings (incl. pseudo-features like
+    # prefer-no-scatter); reloading them trips cpu_aot_loader feature
+    # mismatches and can stall execution outright. At optimization level 1
+    # fresh compiles are fast, so caching buys little and risks hangs.

@@ -1,0 +1,155 @@
+"""In-circuit secp256k1: biguint nonnative gadgets, curve group law,
+toy-width scalar mul — all vs the host curve implementation (reference:
+city_common_circuit/src/crypto/secp256k1/ecdsa/gadgets tests, SURVEY.md
+§4 'secp256k1 curve + ECDSA gadget tests')."""
+
+import random
+
+import pytest
+
+from city_rollup_tpu.crypto import secp256k1 as curve
+from city_rollup_tpu.snark import CircuitBuilder, CircuitConfig
+from city_rollup_tpu.snark.biguint import BigUintBuilder
+from city_rollup_tpu.snark.circuit import generate_witness
+from city_rollup_tpu.snark.debug import check_witness
+from city_rollup_tpu.snark.prover import public_inputs_hash
+from city_rollup_tpu.snark.secp_gadgets import SecpGadget
+
+CFG = CircuitConfig.poseidon_config()
+rnd = random.Random(7)
+
+
+def _finish(b, data, pw):
+    wires = generate_witness(data, pw)
+    pis = [pw.get(t) or 0 for t in data.prover.pi_targets]
+    bad = check_witness(data, wires, public_inputs_hash(pis))
+    assert bad == [], bad[:3]
+
+
+def test_biguint_mul_mod_and_inv():
+    b = CircuitBuilder(CFG)
+    big = BigUintBuilder(b)
+    x = big.add_virtual_biguint(16)
+    y = big.add_virtual_biguint(16)
+    m = curve.N
+    prod = big.mul_mod(x, y, m)
+    inv = big.inv_mod(x, m)
+    data = b.build()
+    pw = b.partial_witness()
+    xv = rnd.getrandbits(255) | 1
+    yv = rnd.getrandbits(255)
+    big.set_biguint(pw, x, xv)
+    big.set_biguint(pw, y, yv)
+    _finish(b, data, pw)
+    assert big.get_biguint(pw, prod) == (xv * yv) % m
+    assert big.get_biguint(pw, inv) == pow(xv, -1, m)
+
+
+def test_biguint_add_sub_mod():
+    b = CircuitBuilder(CFG)
+    big = BigUintBuilder(b)
+    x = big.add_virtual_biguint(16)
+    y = big.add_virtual_biguint(16)
+    m = curve.P
+    s = big.add_mod(x, y, m)
+    d = big.sub_mod(x, y, m)
+    data = b.build()
+    pw = b.partial_witness()
+    xv, yv = rnd.getrandbits(256) % m, rnd.getrandbits(256) % m
+    big.set_biguint(pw, x, xv)
+    big.set_biguint(pw, y, yv)
+    _finish(b, data, pw)
+    assert big.get_biguint(pw, s) == (xv + yv) % m
+    assert big.get_biguint(pw, d) == (xv - yv) % m
+
+
+def test_point_add_cases():
+    b = CircuitBuilder(CFG)
+    g = SecpGadget(b)
+    p1 = g.add_virtual_point()
+    p2 = g.add_virtual_point()
+    out_add = g.point_add(p1, p2)
+    data = b.build()
+
+    g_pt = curve.GENERATOR
+    two_g = curve.add(g_pt, g_pt)
+    cases = [
+        (g_pt, two_g, curve.add(g_pt, two_g)),          # generic add
+        (g_pt, g_pt, two_g),                            # doubling
+        (g_pt, curve.INFINITY, g_pt),                   # identity right
+        (curve.INFINITY, two_g, two_g),                 # identity left
+        (g_pt, curve.AffinePoint(g_pt.x, curve.P - g_pt.y),
+         curve.INFINITY),                               # annihilation
+    ]
+    for a1, a2, expect in cases:
+        pw = b.partial_witness()
+        g.set_point(pw, p1, a1)
+        g.set_point(pw, p2, a2)
+        _finish(b, data, pw)
+        got = g.get_point(pw, out_add)
+        if expect.infinity:
+            assert got.infinity
+        else:
+            assert (got.x, got.y) == (expect.x, expect.y)
+
+
+def test_scalar_mul_toy_width():
+    b = CircuitBuilder(CFG)
+    g = SecpGadget(b)
+    pt = g.add_virtual_point()
+    bits = []
+    for _ in range(6):
+        t = b.add_virtual_target()
+        b.assert_zero(b.mul(t, b.add_const(t, (1 << 64) - (1 << 32))))
+        bits.append(t)
+    out = g.scalar_mul(bits, pt)
+    data = b.build()
+
+    k = 45                                  # 6-bit scalar
+    pw = b.partial_witness()
+    g.set_point(pw, pt, curve.GENERATOR)
+    for i, t in enumerate(bits):
+        pw.set(t, (k >> i) & 1)
+    _finish(b, data, pw)
+    expect = curve.scalar_mul(k, curve.GENERATOR)
+    got = g.get_point(pw, out)
+    assert (got.x, got.y) == (expect.x, expect.y)
+
+
+def test_combined_hash_host_matches_gadget():
+    from city_rollup_tpu.rollup.l1_signature import combined_hash_gadget
+    b = CircuitBuilder(CFG)
+    g = SecpGadget(b)
+    pk = g.add_virtual_point()
+    msg = g.big.add_virtual_biguint(16)
+    combined = combined_hash_gadget(b, g, pk, msg)
+    data = b.build()
+    sk = 0x1234567
+    pk_host = curve.ECDSAPublicKey(curve.scalar_mul(sk, curve.GENERATOR))
+    msg_hash = rnd.getrandbits(256)
+    pw = b.partial_witness()
+    g.set_point(pw, pk, pk_host.point)
+    g.big.set_biguint(pw, msg, msg_hash)
+    _finish(b, data, pw)
+    got = [pw.get(t) for t in combined]
+    assert got == curve.combined_action_hash(pk_host, msg_hash)
+
+
+@pytest.mark.slow
+def test_ecdsa_verify_circuit_witness():
+    """Full 256-bit ECDSA verification circuit: build + witness + constraint
+    check (proving is exercised at the toolbox level; this validates the
+    gadget datapath end-to-end)."""
+    from city_rollup_tpu.rollup.l1_signature import Secp256K1SignatureCircuit
+    circ = Secp256K1SignatureCircuit.build(CFG)
+    sk = 0xC0FFEE + 17
+    pk = curve.ECDSAPublicKey(curve.scalar_mul(sk, curve.GENERATOR))
+    msg_hash = rnd.getrandbits(256)
+    sig = curve.ecdsa_sign(sk, msg_hash)
+    assert curve.ecdsa_verify(pk, msg_hash, sig)
+    pw = circ.data._builder.partial_witness()
+    circ.fill_witness(pw, pk, msg_hash, sig)
+    wires = generate_witness(circ.data, pw)
+    pis = [pw.get(t) or 0 for t in circ.data.prover.pi_targets]
+    assert pis == curve.combined_action_hash(pk, msg_hash)
+    assert check_witness(circ.data, wires, public_inputs_hash(pis)) == []
