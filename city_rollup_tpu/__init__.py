@@ -7,3 +7,22 @@ TPU-first rather than ported from the Rust reference.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the prover compiles one executable per
+# (transform, shape) pair; caching them on disk makes every process after
+# the first (workers, tests, benches) start warm. Opt out with
+# CITY_ROLLUP_XLA_CACHE=off.
+import os as _os
+
+_cache = _os.environ.get(
+    "CITY_ROLLUP_XLA_CACHE",
+    _os.path.expanduser("~/.cache/city_rollup_tpu/xla"))
+if _cache != "off":
+    try:
+        import jax as _jax
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:                                    # pragma: no cover
+        pass

@@ -17,7 +17,8 @@ import sys
 def cmd_full_block(args):
     """Prove a demo block end-to-end in memory (full_block.rs twin)."""
     from .rollup import orchestrator as om
-    from .rollup.circuits import CircuitToolbox, FAST_TEST_CONFIG
+    from .rollup.circuits import (CircuitToolbox, DEFAULT_PARAMS,
+                                  FAST_TEST_PARAMS)
     from .rollup.city_store import CityStore
     from .rollup.proof_store import MemoryProofStore
     from .rollup.queues import QueueHub
@@ -25,12 +26,14 @@ def cmd_full_block(args):
     from .utils import TraceTimer
 
     t = TraceTimer("full_block")
-    city = CityStore()
+    params = FAST_TEST_PARAMS if args.fast else DEFAULT_PARAMS
+    city = CityStore(user_tree_height=params.user_tree_height,
+                     deposit_tree_height=params.deposit_tree_height,
+                     withdrawal_tree_height=params.withdrawal_tree_height)
     store = MemoryProofStore()
     hub = QueueHub()
-    cfg = FAST_TEST_CONFIG if args.fast else None
-    toolbox = CircuitToolbox(cfg)
-    orch = om.Orchestrator(city, store, hub)
+    toolbox = CircuitToolbox(params)
+    orch = om.Orchestrator(city, store, hub, params=params)
     city.register_user(0, 0, (1, 1, 1, 1))
     city.register_user(0, 1, (2, 2, 2, 2))
     city.increment_user_balance(0, 0, 10_000)
@@ -39,7 +42,7 @@ def cmd_full_block(args):
         register_users=[om.RegisterUser(2, (3, 3, 3, 3))],
         token_transfers=[om.TokenTransfer(0, 1, v)
                          for v in (250, 100, 50)],
-        add_withdrawals=[om.AddWithdrawal(1, 0, (9, 9, 9, 9), 25)],
+        add_withdrawals=[om.AddWithdrawal(1, 0, (9, 9, 9), 25)],
     )
     planned = orch.plan_block(1, reqs)
     orch.enqueue(planned)
@@ -61,11 +64,13 @@ def cmd_full_block(args):
 
 
 def cmd_qbench(args):
-    from .rollup.circuits import CircuitToolbox, FAST_TEST_CONFIG
+    from .rollup.circuits import (CircuitToolbox, DEFAULT_PARAMS,
+                                  FAST_TEST_PARAMS)
     from .rollup.qbench import BlockProofStoreDump, run_worker_qbench
     with open(args.input) as f:
         dump = BlockProofStoreDump.from_json(f.read())
-    toolbox = CircuitToolbox(FAST_TEST_CONFIG if args.fast else None)
+    toolbox = CircuitToolbox(FAST_TEST_PARAMS if args.fast
+                             else DEFAULT_PARAMS)
     results = run_worker_qbench(dump, toolbox, num_rounds=args.rounds)
     print(json.dumps(results, indent=None))
     return 0
@@ -83,21 +88,90 @@ def cmd_inspect_dump(args):
 
 
 def cmd_circuit_info(args):
-    """print-circuit-info twin (dev_cli subcommand)."""
-    from .rollup.circuits import CircuitToolbox, FAST_TEST_CONFIG
+    """print-circuit-info twin (dev_cli print_circuit_info subcommand)."""
+    from .rollup.circuits import (CircuitToolbox, DEFAULT_PARAMS,
+                                  FAMILY_BY_AGG, FAMILY_BY_DUMMY,
+                                  FAST_TEST_PARAMS, OP_NAME_BY_TYPE)
     from .rollup.job_id import CircuitType
-    toolbox = CircuitToolbox(FAST_TEST_CONFIG if args.fast else None)
+    from .snark.recursion import fingerprint_verifier_data
+    toolbox = CircuitToolbox(FAST_TEST_PARAMS if args.fast
+                             else DEFAULT_PARAMS)
     ct = CircuitType[args.circuit]
-    built = toolbox._get(ct)
-    c = built.data.common
+    if ct in OP_NAME_BY_TYPE:
+        name = OP_NAME_BY_TYPE[ct]
+        data = toolbox._family_for(name).leaves[name].data
+    elif ct in FAMILY_BY_AGG:
+        data = toolbox._family_for(FAMILY_BY_AGG[ct]).agg.data
+    elif ct in FAMILY_BY_DUMMY:
+        data = toolbox._family_for(FAMILY_BY_DUMMY[ct]).dummy.data
+    elif ct == CircuitType.BLOCK_AGG_STATE_PART_1:
+        data = toolbox.block["part1"][0]
+    elif ct == CircuitType.BLOCK_AGG_STATE_PART_2:
+        data = toolbox.block["part2"][0]
+    elif ct == CircuitType.BLOCK_STATE_TRANSITION:
+        data = toolbox.block["transition"][0]
+    else:
+        print(json.dumps({"error": f"no toolbox circuit for {args.circuit}"}))
+        return 1
+    c = data.common
     print(json.dumps({
         "circuit": args.circuit,
         "degree": c.n,
         "log_degree": c.log_n,
         "gates": [g.key for g in c.gates],
-        "selector_groups": c.selector_groups,
-        "fingerprint": [hex(x) for x in built.data.verifier.circuit_digest],
+        "num_public_inputs": c.num_public_inputs,
+        "fingerprint": [hex(x) for x in
+                        fingerprint_verifier_data(data.verifier)],
     }))
+    return 0
+
+
+def cmd_store_server(args):
+    """Run the networked proof-store/queue server (the Redis stand-in —
+    reference `redis` dependency of every service, SURVEY.md §2.11)."""
+    from .rollup.netstore import StoreServer
+    srv = StoreServer(args.host, args.port, args.visibility_timeout)
+    print(json.dumps({"listening": f"{srv.host}:{srv.port}"}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        return 0
+    return 0
+
+
+def cmd_l2_worker(args):
+    """Run a proving worker against a networked store (reference
+    `city_rollup_cli l2-worker`, SURVEY.md §3.1)."""
+    import time
+    from .rollup.circuits import (CircuitToolbox, DEFAULT_PARAMS,
+                                  FAST_TEST_PARAMS)
+    from .rollup.job_id import WorkerMode
+    from .rollup.netstore import NetProofStore, NetQueueHub
+    from .rollup.worker import Worker
+
+    host, port = args.store.rsplit(":", 1)
+    store = NetProofStore(host, int(port))
+    hub = NetQueueHub(host, int(port))
+    params = FAST_TEST_PARAMS if args.fast else DEFAULT_PARAMS
+    toolbox = CircuitToolbox(params)
+    toolbox.prewarm()
+    mode = WorkerMode[args.mode.upper().replace("-", "_")]
+    worker = Worker(toolbox, store, hub, mode=mode)
+    print(json.dumps({"worker": "ready", "mode": args.mode}), flush=True)
+    idle_since = time.monotonic()
+    while True:
+        if worker.process_next_job():
+            idle_since = time.monotonic()
+            print(json.dumps({"processed": worker.benchmarks[-1].job_id,
+                              "ms": round(worker.benchmarks[-1].duration_ms,
+                                          1)}), flush=True)
+        else:
+            if args.max_idle and \
+                    time.monotonic() - idle_since > args.max_idle:
+                break
+            time.sleep(args.poll_interval)
+    print(json.dumps({"worker": "idle-exit",
+                      "jobs": len(worker.benchmarks)}), flush=True)
     return 0
 
 
@@ -124,6 +198,23 @@ def main(argv=None):
     ci.add_argument("circuit", help="e.g. OP_L2_TRANSFER")
     ci.add_argument("--fast", action="store_true")
     ci.set_defaults(fn=cmd_circuit_info)
+
+    ss = sub.add_parser("store-server",
+                        help="networked proof store + queues (Redis role)")
+    ss.add_argument("--host", default="127.0.0.1")
+    ss.add_argument("--port", type=int, default=7450)
+    ss.add_argument("--visibility-timeout", type=float, default=600.0)
+    ss.set_defaults(fn=cmd_store_server)
+
+    lw = sub.add_parser("l2-worker", help="proving worker over a netstore")
+    lw.add_argument("--store", default="127.0.0.1:7450", help="host:port")
+    lw.add_argument("--fast", action="store_true")
+    lw.add_argument("--mode", default="all",
+                    choices=["all", "no_groth16", "only_groth16"])
+    lw.add_argument("--max-idle", type=float, default=0.0,
+                    help="exit after this many idle seconds (0 = never)")
+    lw.add_argument("--poll-interval", type=float, default=0.25)
+    lw.set_defaults(fn=cmd_l2_worker)
 
     args = p.parse_args(argv)
     return args.fn(args)

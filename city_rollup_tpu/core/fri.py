@@ -22,6 +22,7 @@ import dataclasses
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import gl64, gl64_ext, merkle, ntt, poseidon
@@ -89,7 +90,18 @@ def _fold_inv_x_table(log_m: int, shift: int):
 
 
 def _fold_codeword(codeword, beta, log_m: int, shift: int):
-    """One radix-2 FRI fold on the device codeword. beta: ext (int, int)."""
+    """One radix-2 FRI fold on the device codeword. beta: ext (int, int).
+    Thin wrapper turning beta into traced device scalars so the jitted body
+    compiles once per (log_m, shift), not once per challenge value."""
+    beta_arr = np.array([beta[0], beta[1]], dtype=np.uint64)
+    beta_dev = (jnp.asarray(beta_arr & np.uint64(0xFFFFFFFF),
+                            dtype=jnp.uint32),
+                jnp.asarray(beta_arr >> np.uint64(32), dtype=jnp.uint32))
+    return _fold_codeword_jit(codeword, beta_dev, log_m, shift)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _fold_codeword_jit(codeword, beta_dev, log_m: int, shift: int):
     (a0, a1) = codeword
     h = 1 << (log_m - 1)
     lo_half = lambda c: ((c[0][0][:h], c[0][1][:h]), (c[1][0][:h], c[1][1][:h]))
@@ -107,13 +119,12 @@ def _fold_codeword(codeword, beta, log_m: int, shift: int):
     invx_b = (jnp.broadcast_to(invx[0], d[0][0].shape),
               jnp.broadcast_to(invx[1], d[0][1].shape))
     odd_part = gl64_ext.mul_base(d, invx_b)         # (v-v-)/(2x)
-    beta_lo, beta_hi = ntt._to_pair_const(
-        np.array([beta[0], beta[1]], dtype=np.uint64))
-    beta_dev = ((jnp.broadcast_to(beta_lo[0], d[0][0].shape),
-                 jnp.broadcast_to(beta_hi[0], d[0][1].shape)),
-                (jnp.broadcast_to(beta_lo[1], d[0][0].shape),
-                 jnp.broadcast_to(beta_hi[1], d[0][1].shape)))
-    return gl64_ext.add(even_part, gl64_ext.mul(beta_dev, odd_part))
+    beta_lo, beta_hi = beta_dev
+    beta_b = ((jnp.broadcast_to(beta_lo[0], d[0][0].shape),
+               jnp.broadcast_to(beta_hi[0], d[0][1].shape)),
+              (jnp.broadcast_to(beta_lo[1], d[0][0].shape),
+               jnp.broadcast_to(beta_hi[1], d[0][1].shape)))
+    return gl64_ext.add(even_part, gl64_ext.mul(beta_b, odd_part))
 
 
 def grind(challenger: Challenger, pow_bits: int, max_batches: int = 64) -> int:

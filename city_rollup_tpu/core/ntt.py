@@ -16,6 +16,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import gl64
@@ -101,11 +102,19 @@ def _ntt_impl(x, log_n: int, root_pows: np.ndarray):
     return lo, hi
 
 
+# Each public transform is jitted with static size args: ONE XLA executable
+# per (transform, batch shape, size) instead of one eager dispatch-and-
+# compile per elementwise op per stage (which made a single small prove cost
+# hundreds of XLA compilations). Together with the package-level persistent
+# compilation cache, repeat proves are dispatch-only.
+
+@functools.partial(jax.jit, static_argnums=(1,))
 def ntt(x, log_n: int):
     """Forward NTT: coefficients -> evaluations on the 2^log_n subgroup."""
     return _ntt_impl(x, log_n, _root_powers(log_n))
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
 def intt(x, log_n: int):
     """Inverse NTT: evaluations -> coefficients (includes 1/N scaling)."""
     n = 1 << log_n
@@ -116,6 +125,7 @@ def intt(x, log_n: int):
                         jnp.broadcast_to(c_hi, y[1].shape)))
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def coset_lde(coeffs, log_n: int, rate_bits: int,
               shift: int = gl64.MULTIPLICATIVE_GROUP_GENERATOR):
     """Low-degree extension: coeffs (..., 2^log_n) -> evals (..., 2^(log_n+rate_bits))
@@ -133,13 +143,19 @@ def coset_lde(coeffs, log_n: int, rate_bits: int,
                                  jnp.broadcast_to(p_hi, hi.shape)))
     pad = [(0, 0)] * (lo.ndim - 1) + [(0, m - n)]
     padded = (jnp.pad(scaled[0], pad), jnp.pad(scaled[1], pad))
-    return ntt(padded, log_m)
+    return _ntt_impl(padded, log_m, _root_powers(log_m))
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def coset_intt(evals, log_m: int,
                shift: int = gl64.MULTIPLICATIVE_GROUP_GENERATOR):
     """Inverse of evaluation on coset shift * <w>: evals -> coefficients."""
-    c = intt(evals, log_m)
+    n = 1 << log_m
+    y = _ntt_impl(evals, log_m, _inv_root_powers(log_m))
+    n_inv = gl64.h_inverse(n)
+    c_lo, c_hi = _to_pair_const(np.array([n_inv], dtype=np.uint64))
+    c = gl64.mul(y, (jnp.broadcast_to(c_lo, y[0].shape),
+                     jnp.broadcast_to(c_hi, y[1].shape)))
     inv_shift = gl64.h_inverse(shift % gl64.P)
     pows = _coset_powers(log_m, inv_shift)
     p_lo, p_hi = _to_pair_const(pows)

@@ -226,6 +226,221 @@ def _fp6_frob(a: Fp6) -> Fp6:
 
 # --- G1 / G2 (Jacobian) ------------------------------------------------------
 
+# Generic Jacobian-coordinate scalar ladder shared by G1 (Fp) and G2 (Fp2):
+# double-and-add with no per-step inversion. `ops` = (mul, add, sub, is_zero,
+# dbl) over the coordinate field.
+_FP_OPS = (lambda a, b: a * b % P,
+           lambda a, b: (a + b) % P,
+           lambda a, b: (a - b) % P,
+           lambda a: a % P == 0,
+           lambda a: 2 * a % P)
+_FP2_OPS = (lambda a, b: a * b,
+            lambda a, b: a + b,
+            lambda a, b: a - b,
+            lambda a: a.is_zero(),
+            lambda a: a + a)
+
+
+def _jac_mul_generic(px, py, k: int, ops):
+    mul, add, sub, is_zero, dbl = ops
+
+    def jdouble(X, Y, Z):
+        A = mul(X, X)
+        B = mul(Y, Y)
+        C = mul(B, B)
+        t = mul(add(X, B), add(X, B))
+        D = dbl(sub(sub(t, A), C))
+        E = add(dbl(A), A)
+        F = mul(E, E)
+        X3 = sub(F, dbl(D))
+        Y3 = sub(mul(E, sub(D, X3)), dbl(dbl(dbl(C))))
+        Z3 = dbl(mul(Y, Z))
+        return X3, Y3, Z3
+
+    def jadd_mixed(X1, Y1, Z1, x2, y2):
+        # None encodes infinity for the accumulator
+        ZZ = mul(Z1, Z1)
+        U2 = mul(x2, ZZ)
+        S2 = mul(mul(y2, ZZ), Z1)
+        H = sub(U2, X1)
+        r = sub(S2, Y1)
+        if is_zero(H):
+            if is_zero(r):
+                return jdouble(X1, Y1, Z1)
+            return None
+        HH = mul(H, H)
+        HHH = mul(H, HH)
+        V = mul(X1, HH)
+        X3 = sub(sub(mul(r, r), HHH), dbl(V))
+        Y3 = sub(mul(r, sub(V, X3)), mul(Y1, HHH))
+        Z3 = mul(Z1, H)
+        return X3, Y3, Z3
+
+    acc = None
+    for bit in bin(k)[2:]:
+        if acc is not None:
+            acc = jdouble(*acc)
+        if bit == "1":
+            if acc is None:
+                acc = (px, py, _field_one(px))
+            else:
+                acc = jadd_mixed(acc[0], acc[1], acc[2], px, py)
+    return acc
+
+
+def _field_one(sample):
+    """Multiplicative identity matching the coordinate type."""
+    return 1 if isinstance(sample, int) else Fp2.one()
+
+
+def _jac_add(a, b, ops):
+    """Full Jacobian + Jacobian addition (a, b = (X,Y,Z) or None=inf)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    mul, add, sub, is_zero, dbl = ops
+    X1, Y1, Z1 = a
+    X2, Y2, Z2 = b
+    Z1Z1 = mul(Z1, Z1)
+    Z2Z2 = mul(Z2, Z2)
+    U1 = mul(X1, Z2Z2)
+    U2 = mul(X2, Z1Z1)
+    S1 = mul(mul(Y1, Z2Z2), Z2)
+    S2 = mul(mul(Y2, Z1Z1), Z1)
+    H = sub(U2, U1)
+    r = sub(S2, S1)
+    if is_zero(H):
+        if is_zero(r):
+            return _jac_double(a, ops)
+        return None
+    HH = mul(H, H)
+    HHH = mul(H, HH)
+    V = mul(U1, HH)
+    X3 = sub(sub(mul(r, r), HHH), dbl(V))
+    Y3 = sub(mul(r, sub(V, X3)), mul(S1, HHH))
+    Z3 = mul(mul(Z1, Z2), H)
+    return X3, Y3, Z3
+
+
+def _jac_double(a, ops):
+    if a is None:
+        return None
+    mul, add, sub, is_zero, dbl = ops
+    X, Y, Z = a
+    A = mul(X, X)
+    B = mul(Y, Y)
+    C = mul(B, B)
+    t = mul(add(X, B), add(X, B))
+    D = dbl(sub(sub(t, A), C))
+    E = add(dbl(A), A)
+    F = mul(E, E)
+    X3 = sub(F, dbl(D))
+    Y3 = sub(mul(E, sub(D, X3)), dbl(dbl(dbl(C))))
+    Z3 = dbl(mul(Y, Z))
+    return X3, Y3, Z3
+
+
+def _msm_jac(jac_points: list, scalars: list, ops, window: int = 8):
+    """Pippenger bucket MSM over Jacobian points (None = infinity)."""
+    acc = None
+    n_windows = (256 + window - 1) // window
+    mask = (1 << window) - 1
+    for wi in range(n_windows - 1, -1, -1):
+        if acc is not None:
+            for _ in range(window):
+                acc = _jac_double(acc, ops)
+        buckets = [None] * (mask + 1)
+        shift = wi * window
+        for pt, sc in zip(jac_points, scalars):
+            d = (sc >> shift) & mask
+            if d and pt is not None:
+                buckets[d] = _jac_add(buckets[d], pt, ops)
+        running = None
+        win_sum = None
+        for d in range(mask, 0, -1):
+            running = _jac_add(running, buckets[d], ops)
+            win_sum = _jac_add(win_sum, running, ops)
+        acc = _jac_add(acc, win_sum, ops)
+    return acc
+
+
+def _to_jac(pt):
+    """Affine group element -> Jacobian triple (None for infinity)."""
+    if pt.inf:
+        return None
+    return (pt.x, pt.y, _field_one(pt.x))
+
+
+def g1_msm(points: list, scalars: list) -> "G1":
+    """sum scalars[i] * points[i] via Pippenger (the Groth16 prover/setup
+    hot loop — replaces per-point double-and-add)."""
+    jacs = [_to_jac(p) for p in points]
+    acc = _msm_jac(jacs, [s % R for s in scalars], _FP_OPS)
+    if acc is None:
+        return G1.identity()
+    x, y, z = acc
+    zi = fp_inv(z)
+    zi2 = zi * zi % P
+    return G1(x * zi2 % P, y * zi2 % P * zi % P)
+
+
+def g2_msm(points: list, scalars: list) -> "G2":
+    jacs = [_to_jac(p) for p in points]
+    acc = _msm_jac(jacs, [s % R for s in scalars], _FP2_OPS)
+    if acc is None:
+        return G2.identity()
+    x, y, z = acc
+    zi = z.inv()
+    zi2 = zi * zi
+    return G2(x * zi2, y * zi2 * zi)
+
+
+class FixedBaseTable:
+    """Windowed fixed-base table: precompute base * d * 2^(w i) for all
+    windows i and digits d; each mul is then ~32 Jacobian adds. Used by the
+    Groth16 setup, whose thousands of muls share the two generators."""
+
+    def __init__(self, base, window: int = 8):
+        self.window = window
+        self.ops = _FP_OPS if isinstance(base, G1) else _FP2_OPS
+        self.cls = type(base)
+        n_windows = (256 + window - 1) // window
+        self.table = []
+        cur = _to_jac(base)
+        for _ in range(n_windows):
+            row = [None] * (1 << window)
+            acc = None
+            for d in range(1, 1 << window):
+                acc = _jac_add(acc, cur, self.ops)
+                row[d] = acc
+            self.table.append(row)
+            for _ in range(window):
+                cur = _jac_double(cur, self.ops)
+
+    def mul(self, k: int):
+        k %= R
+        acc = None
+        mask = (1 << self.window) - 1
+        wi = 0
+        while k:
+            d = k & mask
+            if d:
+                acc = _jac_add(acc, self.table[wi][d], self.ops)
+            k >>= self.window
+            wi += 1
+        if acc is None:
+            return self.cls.identity()
+        x, y, z = acc
+        if self.cls is G1:
+            zi = fp_inv(z)
+            zi2 = zi * zi % P
+            return G1(x * zi2 % P, y * zi2 % P * zi % P)
+        zi = z.inv()
+        zi2 = zi * zi
+        return G2(x * zi2, y * zi2 * zi)
+
+
 @dataclasses.dataclass(frozen=True)
 class G1:
     x: int
@@ -264,14 +479,18 @@ class G1:
         return G1(x3, y3)
 
     def mul(self, k: int) -> "G1":
+        """Jacobian double-and-add (one field inversion total; the affine
+        `add` pays an inversion per step, which dominates Groth16 MSMs)."""
         k %= R
-        out, base = G1.identity(), self
-        while k:
-            if k & 1:
-                out = out.add(base)
-            base = base.add(base)
-            k >>= 1
-        return out
+        if k == 0 or self.inf:
+            return G1.identity()
+        xyz = _jac_mul_generic(self.x, self.y, k, _FP_OPS)
+        if xyz is None:
+            return G1.identity()
+        x, y, z = xyz
+        zi = fp_inv(z)
+        zi2 = zi * zi % P
+        return G1(x * zi2 % P, y * zi2 % P * zi % P)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -313,14 +532,17 @@ class G2:
         return G2(x3, y3)
 
     def mul(self, k: int) -> "G2":
+        """Jacobian double-and-add over Fp2 (one inversion total)."""
         k %= R
-        out, base = G2.identity(), self
-        while k:
-            if k & 1:
-                out = out.add(base)
-            base = base.add(base)
-            k >>= 1
-        return out
+        if k == 0 or self.inf:
+            return G2.identity()
+        xyz = _jac_mul_generic(self.x, self.y, k, _FP2_OPS)
+        if xyz is None:
+            return G2.identity()
+        x, y, z = xyz
+        zi = z.inv()
+        zi2 = zi * zi
+        return G2(x * zi2, y * zi2 * zi)
 
 
 # --- pairing ------------------------------------------------------------------

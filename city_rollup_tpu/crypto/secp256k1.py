@@ -253,13 +253,24 @@ def felts_of_u256(v: int) -> list[int]:
 
 
 def combined_action_hash(pk: ECDSAPublicKey, msg_hash: int) -> list[int]:
-    """Poseidon(pk.x felts ∥ y-parity ∥ msg felts) — the single public
-    input the secp256k1 signature circuit exposes (combined-hash
-    convention of signature_circuit.rs:40-60; packing shared with
-    snark/secp_gadgets.py combined_hash_gadget)."""
+    """Poseidon(pk9 ∥ msg as 4x64-bit LE felts) — the single public input
+    the secp256k1 signature circuit exposes (combined-hash convention of
+    signature_circuit.rs:40-60; in-circuit twin:
+    rollup/l1_signature.combined_hash_gadget). pk9 is the 9-felt packing
+    of the compressed pubkey — the same packing used by deposit leaves and
+    the sighash introspection circuit."""
+    from .felts import bytes33_to_felts
+    m = msg_hash % (1 << 256)
+    msg4 = [(m >> (64 * i)) & ((1 << 64) - 1) for i in range(4)]
     return poseidon_host.hash_no_pad(
-        felts_of_u256(pk.point.x) + [pk.point.y & 1] +
-        felts_of_u256(msg_hash % (1 << 256)))
+        bytes33_to_felts(pk.to_bytes_compressed()) + msg4)
+
+
+def action_digest_to_msg(action: list[int]) -> int:
+    """Pack a 4-felt action digest into the 256-bit ECDSA message int
+    (little-endian 64-bit groups) — the wallet signing convention the
+    claim-deposit op circuit pins."""
+    return sum(int(a) << (64 * i) for i, a in enumerate(action))
 
 
 class Secp256K1Wallet:

@@ -322,6 +322,30 @@ class BlockSpendIntrospectionHint:
     def sighash(self) -> bytes:
         return bytes(sha256d(self.sighash_preimage))
 
+    def to_dict(self) -> dict:
+        return {
+            "sighash_preimage": self.sighash_preimage.hex(),
+            "last_block_spend_index": self.last_block_spend_index,
+            "block_spend_index": self.block_spend_index,
+            "current_spend_index": self.current_spend_index,
+            "funding_transactions": [f.serialize().hex()
+                                     for f in self.funding_transactions],
+            "next_block_redeem_script": self.next_block_redeem_script.hex(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "BlockSpendIntrospectionHint":
+        return cls(
+            sighash_preimage=bytes.fromhex(d["sighash_preimage"]),
+            last_block_spend_index=d["last_block_spend_index"],
+            block_spend_index=d["block_spend_index"],
+            current_spend_index=d["current_spend_index"],
+            funding_transactions=[
+                BTCTransaction.parse(bytes.fromhex(h))
+                for h in d["funding_transactions"]],
+            next_block_redeem_script=bytes.fromhex(
+                d["next_block_redeem_script"]))
+
 
 @dataclasses.dataclass
 class IntrospectionDeposit:

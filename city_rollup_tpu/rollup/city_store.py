@@ -45,15 +45,28 @@ class CityL2BlockState:
     end_balance: int = 0
 
 
-def hash_deposit(txid224: Digest, public_key: Digest, value: int) -> Digest:
-    """Deposit leaf = H(txid224, H(pk, [value,0,0,0]))."""
-    inner = poseidon_host.two_to_one(list(public_key), [value, 0, 0, 0])
-    return tuple(poseidon_host.two_to_one(list(txid224), inner))
+def hash_deposit(txid224: Digest, public_key, value: int) -> Digest:
+    """Deposit leaf = Poseidon(txid224(4) ∥ value ∥ pk9) where pk9 is the
+    9-felt packing of the 33-byte compressed L1 public key
+    (felts.bytes33_to_felts). IDENTICAL to btc.IntrospectionDeposit.hash so
+    the add_deposit op's event hash matches what the sighash circuit
+    derives from the funding-transaction bytes (introspection_result.rs
+    get_hash)."""
+    pk = list(public_key)
+    assert len(pk) == 9, "public_key must be the 9-felt compressed packing"
+    return tuple(poseidon_host.hash_no_pad(
+        list(txid224) + [value % poseidon_host.P] + pk))
 
 
-def hash_withdrawal(address: Digest, value: int) -> Digest:
-    """Withdrawal leaf = H(address, [value,0,0,0])."""
-    return tuple(poseidon_host.two_to_one(list(address), [value, 0, 0, 0]))
+def hash_withdrawal(address, value: int) -> Digest:
+    """Withdrawal leaf VALUE = (value, a0, a1, a2|flag<<48) — the literal
+    4-felt packing (NOT a hash), where address is the 3-limb hash160
+    packing (felts.hash160_to_felts). IDENTICAL to
+    btc.IntrospectionWithdrawal.hash so process_withdrawal's event hash
+    matches the sighash circuit's withdrawal parsing."""
+    addr = list(address)
+    assert len(addr) == 3, "address must be the 3-limb hash160 packing"
+    return (value % poseidon_host.P,) + tuple(addr)
 
 
 CLAIMED_MARKER: Digest = (1, 1, 1, 1)

@@ -24,10 +24,13 @@ from ..snark.secp_gadgets import SecpGadget
 from ..snark.gadgets import split_le_16
 
 
-def combined_hash_gadget(b: CircuitBuilder, g: SecpGadget, pk_point,
-                         msg_biguint) -> list:
-    """In-circuit twin of crypto.secp256k1.combined_action_hash."""
-    x_felts = g.big.pack_felts(pk_point.x, 48)
+def compressed_pk_felts(b: CircuitBuilder, g: SecpGadget, pk_point) -> list:
+    """9-felt packing of the 33-byte compressed pubkey (prefix 02/03 ∥
+    x big-endian), matching felts.bytes33_to_felts — the SAME packing the
+    deposit leaf and the sighash circuit use, so one pk value flows through
+    every layer. In-circuit: split each 16-bit x limb into (hi, lo) bytes,
+    derive the parity prefix from y's low limb, regroup as 4-byte LE
+    felts."""
     # y parity: y_limb0 = 2*half + bit
     half = b.add_virtual_target()
     bit = b.add_virtual_target()
@@ -44,8 +47,53 @@ def combined_hash_gadget(b: CircuitBuilder, g: SecpGadget, pk_point,
     b.assert_zero(b.mul(bit, b.add_const(bit, (1 << 64) - (1 << 32))))
     b.range_check(half, 15)
     b.connect(b.arithmetic(2, 1, half, b.one(), bit), y0)
-    msg_felts = g.big.pack_felts(msg_biguint, 48)
-    return b.hash_n_to_hash_no_pad(x_felts + [bit] + msg_felts)
+
+    # byte-split the 16 x limbs (LE): limb_k = hi_k*256 + lo_k
+    lo = b.add_virtual_targets(16)
+    hi = b.add_virtual_targets(16)
+    for k in range(16):
+        limb = pk_point.x.limbs[k]
+
+        def bgen(pw, _l=limb, _lo=lo[k], _hi=hi[k]):
+            v = pw.get(_l)
+            if v is None:
+                return
+            pw.set(_lo, v & 0xFF)
+            pw.set(_hi, v >> 8)
+
+        b.add_generator(bgen, deps=[limb])
+        b.range_check(lo[k], 8)
+        b.range_check(hi[k], 8)
+        b.connect(b.arithmetic(256, 1, hi[k], b.one(), lo[k]), limb)
+
+    # compressed bytes: [2 + parity] ∥ x BE; x BE byte j = x LE byte 31-j
+    le_bytes = []
+    for k in range(16):
+        le_bytes.extend([lo[k], hi[k]])
+    prefix = b.add_const(bit, 2)
+    comp = [prefix] + [le_bytes[31 - j] for j in range(32)]
+    # 9 felts of 4 LE bytes (last felt = 1 byte)
+    felts = []
+    for i in range(9):
+        chunk = comp[4 * i:4 * i + 4]
+        acc = b.zero()
+        for j, t in enumerate(chunk):
+            acc = b.arithmetic(1 << (8 * j), 1, t, b.one(), acc)
+        felts.append(acc)
+    return felts
+
+
+def combined_hash_gadget(b: CircuitBuilder, g: SecpGadget, pk_point,
+                         msg_biguint) -> list:
+    """In-circuit twin of crypto.secp256k1.combined_action_hash:
+    Poseidon(pk9 ∥ msg as 4x64-bit LE felts). The msg felts equal the
+    claim op's action digest when msg = a0|a1<<64|a2<<128|a3<<192 (the
+    wallet's signing convention). Note the 64-bit groups are taken mod p
+    when hashed; a prover holding the key could shift a group by p, which
+    buys nothing (they can sign the canonical message directly)."""
+    pk9 = compressed_pk_felts(b, g, pk_point)
+    msg4 = g.big.pack_felts(msg_biguint, 64)
+    return b.hash_n_to_hash_no_pad(pk9 + msg4)
 
 
 @dataclasses.dataclass

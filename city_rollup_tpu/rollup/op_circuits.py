@@ -121,7 +121,7 @@ def make_claim_l1_deposit(b: CircuitBuilder, p: RollupParams):
     allowed = b.add_virtual_hash()
     uid = b.add_virtual_target()
     txid224 = b.add_virtual_hash()
-    pk = b.add_virtual_hash()
+    pk = b.add_virtual_targets(9)       # 9-felt compressed L1 pubkey
     value = b.add_virtual_target()
 
     dep = og.add_delta_merkle_gadget(b, p.deposit_tree_height)
@@ -146,7 +146,10 @@ def make_claim_l1_deposit(b: CircuitBuilder, p: RollupParams):
     action = og.sig_action_hash(
         b, p.network_magic, uid, og.SIG_ACTION_CLAIM_DEPOSIT_MAGIC,
         b.zero(), list(txid224) + [value, fee])
-    combined = og.sig_combined_hash(b, pk, action)
+    # combined = Poseidon(pk9 ∥ action) — the exact public input the L1
+    # (secp256k1) signature circuit exposes (l1_signature.py
+    # combined_hash_gadget / crypto.secp256k1.combined_action_hash)
+    combined = b.hash_n_to_hash_no_pad(list(pk) + list(action))
 
     # the L1 key's signature proof: a circuit exposing [combined_hash(4)]
     # as its public inputs (secp256k1 ECDSA proof in the reference; the
@@ -242,7 +245,7 @@ def make_add_l1_withdrawal(b: CircuitBuilder, p: RollupParams):
     (ops/add_l1_withdrawal/mod.rs)."""
     allowed = b.add_virtual_hash()
     uid = b.add_virtual_target()
-    address = b.add_virtual_hash()
+    address = b.add_virtual_targets(3)  # 3-limb hash160 packing
     value = b.add_virtual_target()
     b.range_check(value, og.BALANCE_BITS)
 
@@ -314,7 +317,7 @@ def make_add_l1_deposit(b: CircuitBuilder, p: RollupParams):
     (shape B — ops/add_l1_deposit/mod.rs)."""
     allowed = b.add_virtual_hash()
     txid224 = b.add_virtual_hash()
-    pk = b.add_virtual_hash()
+    pk = b.add_virtual_targets(9)       # 9-felt compressed L1 pubkey
     value = b.add_virtual_target()
     dep = og.add_delta_merkle_gadget(b, p.deposit_tree_height)
     for j in range(4):

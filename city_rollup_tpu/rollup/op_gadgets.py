@@ -137,19 +137,22 @@ BALANCE_BITS = 62   # balances fit 62 bits (keeps b - a range checks exact)
 
 # -- leaf hashes ---------------------------------------------------------------
 
-def deposit_leaf_hash(b: CircuitBuilder, txid224: Digest4,
-                      public_key: Digest4, value: Target) -> Digest4:
-    """H(txid224, H(pk, [value,0,0,0])) — twin of city_store hash_deposit."""
-    z = b.zero()
-    inner = b.hash_two_to_one(public_key, [value, z, z, z])
-    return b.hash_two_to_one(txid224, inner)
+def deposit_leaf_hash(b: CircuitBuilder, txid224: list,
+                      public_key9: list, value: Target) -> Digest4:
+    """Poseidon(txid224(4) ∥ value ∥ pk9(9)) — twin of city_store
+    hash_deposit AND of the sighash circuit's in-circuit deposit hash
+    (sighash_circuit.py: hash224_of_bytes + [val] + pk33_felts), so deposit
+    events agree between the rollup and introspection sides."""
+    return b.hash_n_to_hash_no_pad(list(txid224) + [value] +
+                                   list(public_key9))
 
 
-def withdrawal_leaf_hash(b: CircuitBuilder, address: Digest4,
-                         value: Target) -> Digest4:
-    """H(address, [value,0,0,0]) — twin of city_store hash_withdrawal."""
-    z = b.zero()
-    return b.hash_two_to_one(address, [value, z, z, z])
+def withdrawal_leaf_hash(b: CircuitBuilder, address3: list,
+                         value: Target) -> list:
+    """[value, a0, a1, a2|flag<<48] — the literal leaf value, twin of
+    city_store hash_withdrawal and the sighash circuit's pkh_felts
+    withdrawal packing."""
+    return [value] + list(address3)
 
 
 # -- signature action hashes ---------------------------------------------------
@@ -169,8 +172,3 @@ def sig_action_hash(b: CircuitBuilder, network_magic: int, user_id: Target,
     return b.hash_n_to_hash_no_pad(inputs)
 
 
-def sig_combined_hash(b: CircuitBuilder, public_key: Digest4,
-                      action_hash: Digest4) -> Digest4:
-    """H(pk, action_hash): the single public input a signature proof
-    exposes (DogeQEDSignatureCombinedHashGadget twin)."""
-    return b.hash_two_to_one(public_key, action_hash)

@@ -19,6 +19,8 @@ from __future__ import annotations
 import dataclasses
 
 from ..core import poseidon_host
+from ..crypto import felts as feltenc
+from . import btc
 from .circuits import encode_witness
 from .city_store import CityStore
 from .job_id import CircuitType, JobID, JobTopic
@@ -130,6 +132,62 @@ class PlannedBlock:
     final_job: JobID
     notify_job: JobID
     num_jobs: int
+    # events collected during op application (leaf values, in request order)
+    withdrawal_events: list = dataclasses.field(default_factory=list)
+    deposit_events: list = dataclasses.field(default_factory=list)
+    # sighash chain (set when planned with an L1 context)
+    block_tx: object = None
+    hints: list = dataclasses.field(default_factory=list)
+    sighash_final_jobs: list = dataclasses.field(default_factory=list)
+    groth16_jobs: list = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class L1BlockContext:
+    """The L1 view the sighash finalizer needs: the previous block's
+    transaction (whose output 0 is the covenant being spent) and the
+    deposit funding transactions confirmed since (reference:
+    get_confirmed_funding_transactions + create_hints_for_block,
+    actors/simple.rs:44-125)."""
+    spend_cfg: btc.BlockSpendCoreConfig
+    script_body: bytes
+    prev_block_tx: btc.BTCTransaction
+    deposit_txs: list = dataclasses.field(default_factory=list)
+    with_groth16: bool = False
+
+
+def requests_from_deposit_txs(deposit_txs: list, start_id: int) -> list:
+    """Derive AddDeposit requests from funding transactions EXACTLY as the
+    sighash circuit will parse them (btc.parse_deposits semantics), so the
+    add_deposit op's event leaves match the introspection deposit hashes."""
+    out = []
+    for k, tx in enumerate(deposit_txs):
+        pk = tx.inputs[0].script[-33:]
+        out.append(AddDeposit(
+            deposit_id=start_id + k,
+            txid224=tuple(feltenc.hash256_to_hash224(tx.txid())),
+            public_key=tuple(feltenc.bytes33_to_felts(pk)),
+            value=tx.outputs[0].value))
+    return out
+
+
+def make_genesis_block_tx(cfg: btc.BlockSpendCoreConfig, script_body: bytes,
+                          genesis_state: bytes, balance: int
+                          ) -> btc.BTCTransaction:
+    """A synthetic previous-block transaction for block 1: one funding
+    input (placeholder witness script of the covenant size) and the
+    covenant output holding the rollup balance (reference: genesis setup,
+    orchestrator src/lib.rs:120-186)."""
+    script = bytes([btc.OP_PUSHBYTES_32]) + genesis_state + script_body
+    return btc.BTCTransaction(
+        version=cfg.version,
+        inputs=[btc.BTCTransactionInput(
+            hash=b"\x00" * 32, index=0,
+            script=b"\x00" * cfg.block_funding_script_size)],
+        outputs=[btc.BTCTransactionOutput(
+            value=balance,
+            script=btc.p2sh_script(btc.p2sh_address_of(script)))],
+        locktime=cfg.locktime)
 
 
 class Orchestrator:
@@ -197,8 +255,12 @@ class Orchestrator:
         raise ValueError(family)
 
     # -- block planner (planner.rs + job_planner.rs twin) -----------------------
-    def plan_block(self, checkpoint_id: int,
-                   requests: BlockRequests) -> PlannedBlock:
+    def plan_block(self, checkpoint_id: int, requests: BlockRequests,
+                   l1_context: L1BlockContext | None = None) -> PlannedBlock:
+        """Apply ops, build the aggregation DAG, and (with an L1 context)
+        plan the per-tx-input sighash -> final-GL -> Groth16 chain gating
+        the completion notification (job_planner.rs:14-56 +
+        sighash/finalizer.rs:19-66)."""
         cp = checkpoint_id
         city = self.city
         reqs_by_family = {
@@ -223,6 +285,8 @@ class Orchestrator:
         root_kinds: dict[str, str] = {}
         num_jobs = 0
         stage_roots = {}
+        withdrawal_events: list = []
+        deposit_events: list = []
 
         for group, family in enumerate(FAMILY_ORDER):
             reqs = reqs_by_family[family]
@@ -231,6 +295,10 @@ class Orchestrator:
             kinds: list[str] = []
             for i, req in enumerate(reqs):
                 fields, t = self._apply_op(cp, family, req)
+                if family == "process_withdrawal":
+                    withdrawal_events.append(tuple(t.events))
+                elif family == "add_deposit":
+                    deposit_events.append(tuple(t.events))
                 leaves.append(t)
                 kinds.append("leaf")
                 job = JobID(JobTopic.GENERATE_STANDARD_PROOF, cp,
@@ -358,17 +426,121 @@ class Orchestrator:
             "d_roots": [list(r) for r in d_roots]}))
         self.store.write_next_jobs([part1, part2], [final],
                                    counter_id=final.counter_id())
-        self.store.write_next_jobs([final], [notify],
-                                   counter_id=notify.counter_id())
         num_jobs += 3
 
         end_city_root = city.get_city_root(cp)
         assert _h2(_h2(u_roots[4], w_roots[2]), d_roots[2]) == end_city_root
-        return PlannedBlock(checkpoint_id=cp,
-                            start_city_root=start_city_root,
-                            end_city_root=end_city_root,
-                            leaf_jobs=leaf_jobs_all, final_job=final,
-                            notify_job=notify, num_jobs=num_jobs)
+        planned = PlannedBlock(checkpoint_id=cp,
+                               start_city_root=start_city_root,
+                               end_city_root=end_city_root,
+                               leaf_jobs=leaf_jobs_all, final_job=final,
+                               notify_job=notify, num_jobs=num_jobs,
+                               withdrawal_events=withdrawal_events,
+                               deposit_events=deposit_events)
+        if l1_context is None:
+            self.store.write_next_jobs([final], [notify],
+                                       counter_id=notify.counter_id())
+            return planned
+        self._finalize_sighashes(planned, l1_context)
+        return planned
+
+    # -- sighash finalizer (sighash/finalizer.rs:19-66 twin) -------------------
+    def _finalize_sighashes(self, planned: PlannedBlock,
+                            ctx: L1BlockContext):
+        """Assemble the block transaction from the planned events, build a
+        BlockSpendIntrospectionHint per tx input, and chain
+        SIGHASH_INTROSPECTION -> SIGHASH_WRAPPER -> (with the transition
+        proof) SIGHASH_FINAL_GL [-> WRAP_FINAL_SIGHASH_PROOF_BLS12381] per
+        input, all gating the completion notification."""
+        cfg = ctx.spend_cfg
+        cp = planned.checkpoint_id
+        from ..crypto.qhashout import QHashOut
+
+        old_bytes = QHashOut(tuple(planned.start_city_root)).to_bytes()
+        new_bytes = QHashOut(tuple(planned.end_city_root)).to_bytes()
+        cur_script = bytes([btc.OP_PUSHBYTES_32]) + old_bytes + \
+            ctx.script_body
+        next_script = bytes([btc.OP_PUSHBYTES_32]) + new_bytes + \
+            ctx.script_body
+        assert len(cur_script) == cfg.block_sighash_script_size
+
+        dep_total = sum(tx.outputs[0].value for tx in ctx.deposit_txs)
+        cur_bal = ctx.prev_block_tx.outputs[0].value
+        wd_total = sum(int(ev[0]) for ev in planned.withdrawal_events)
+        next_bal = cur_bal + dep_total - wd_total
+        assert next_bal >= 0, "block overdraws the covenant"
+
+        outputs = [btc.BTCTransactionOutput(
+            value=next_bal,
+            script=btc.p2sh_script(btc.p2sh_address_of(next_script)))]
+        for ev in planned.withdrawal_events:
+            pkh, flag = feltenc.felts_to_hash160(list(ev[1:]))
+            script = btc.p2sh_script(pkh) if flag else \
+                btc.p2pkh_script(pkh)
+            assert len(script) == cfg.withdrawal_output_script_size, \
+                "withdrawal script size does not match the covenant shape"
+            outputs.append(btc.BTCTransactionOutput(value=int(ev[0]),
+                                                    script=script))
+
+        fundings = [ctx.prev_block_tx] + list(ctx.deposit_txs)
+        inputs = [btc.BTCTransactionInput(hash=f.txid(), index=0, script=b"")
+                  for f in fundings]
+        block_tx = btc.BTCTransaction(version=cfg.version, inputs=inputs,
+                                      outputs=outputs, locktime=cfg.locktime)
+        planned.block_tx = block_tx
+
+        terminals: list[JobID] = []
+        for i in range(len(inputs)):
+            pre = btc.sighash_preimage(block_tx, i, cur_script,
+                                       cfg.sighash_type)
+            hint = btc.BlockSpendIntrospectionHint(
+                sighash_preimage=pre,
+                last_block_spend_index=cfg.block_spend_index,
+                block_spend_index=cfg.block_spend_index,
+                current_spend_index=i,
+                funding_transactions=fundings,
+                next_block_redeem_script=next_script)
+            planned.hints.append(hint)
+
+            intro = JobID(JobTopic.GENERATE_STANDARD_PROOF, cp,
+                          int(CircuitType.SIGHASH_INTROSPECTION),
+                          group_id=110, task_index=i)
+            self.store.set_bytes(intro.input_witness_id(),
+                                 encode_witness({"hint": hint.to_dict()}))
+            swrap = JobID(JobTopic.GENERATE_STANDARD_PROOF, cp,
+                          int(CircuitType.SIGHASH_WRAPPER),
+                          group_id=111, task_index=i)
+            self.store.set_bytes(swrap.input_witness_id(), encode_witness({
+                "child": intro.hex(),
+                "gid": hint.gadget_id().to_felt()}))
+            fin = JobID(JobTopic.GENERATE_STANDARD_PROOF, cp,
+                        int(CircuitType.SIGHASH_FINAL_GL),
+                        group_id=112, task_index=i)
+            self.store.set_bytes(fin.input_witness_id(), encode_witness({
+                "transition": planned.final_job.hex(),
+                "wrapper": swrap.hex(), "cur_bal": cur_bal,
+                "next_bal": next_bal, "spend_idx": i}))
+            self.store.write_next_jobs([intro], [swrap])
+            self.store.write_next_jobs([planned.final_job, swrap], [fin],
+                                       counter_id=fin.counter_id())
+            planned.leaf_jobs.append(intro)
+            planned.sighash_final_jobs.append(fin)
+            planned.num_jobs += 3
+            if ctx.with_groth16:
+                g16 = JobID(JobTopic.GENERATE_GROTH16_PROOF, cp,
+                            int(CircuitType.
+                                WRAP_FINAL_SIGHASH_PROOF_BLS12381),
+                            group_id=113, task_index=i)
+                self.store.set_bytes(g16.input_witness_id(),
+                                     encode_witness({"final": fin.hex()}))
+                self.store.write_next_jobs([fin], [g16])
+                planned.groth16_jobs.append(g16)
+                planned.num_jobs += 1
+                terminals.append(g16)
+            else:
+                terminals.append(fin)
+        self.store.write_next_jobs(terminals, [planned.notify_job],
+                                   counter_id=planned.notify_job.counter_id())
 
     def enqueue(self, planned: PlannedBlock):
         for job in planned.leaf_jobs:

@@ -60,6 +60,14 @@ def commitment_root_host(pairs: list) -> list[int]:
     return leaves[0]
 
 
+def _pad4(b: CircuitBuilder, targets: list) -> list:
+    """Zero-pad byte targets to a multiple of 4 for u32 word packing (the
+    commitment-leaf encoding of arbitrary-length messages; both the
+    accelerator and every consumer MUST use this same padding)."""
+    rem = (-len(targets)) % 4
+    return list(targets) + [b.zero()] * rem
+
+
 def _commit_root_gadget(b: CircuitBuilder, leaves: list) -> list:
     n = 1
     while n < len(leaves):
@@ -98,10 +106,10 @@ class Sha256AcceleratorCircuit:
         g = Sha256Gadget(b)
         msg_targets, digest_targets, leaves = [], [], []
         for (msg_len, double) in specs:
-            assert msg_len % 4 == 0
             msg = b.add_virtual_targets(msg_len)
             dig = g.sha256d_bytes(msg) if double else g.sha256_bytes(msg)
-            words_m = [w.target for w in g.bytes_to_u32_words(msg)]
+            words_m = [w.target for w in
+                       g.bytes_to_u32_words(_pad4(b, msg))]
             words_d = [w.target for w in g.bytes_to_u32_words(dig)]
             leaves.append(b.hash_n_to_hash_no_pad(words_m + words_d))
             msg_targets.append(msg)

@@ -179,6 +179,19 @@ def felt248_of_bytes(b, g, byte_targets: list) -> list:
     return _bits_to_felts(b, _byte_bits(b, g, byte_targets[:31]), 62, 4)
 
 
+def felt248_of_hashout(b, h4: list) -> list:
+    """felt248 packing of a 4-felt HashOut, matching
+    felt248_of_bytes(qhashout.to_bytes(h)): the canonical LE byte encoding's
+    first 31 bytes regrouped as 4 x 62-bit felts. canonical=True on the bit
+    split so a prover cannot substitute x+p for x (reference binding:
+    felthash248.rs connect_full_hashout_to_felt248_hashout)."""
+    from ..snark.gadgets import split_le_64
+    bits = []
+    for t in h4:
+        bits.extend(split_le_64(b, t, canonical=True))
+    return _bits_to_felts(b, bits[:248], 62, 4)
+
+
 def hash224_of_bytes(b, byte_targets: list) -> list:
     """First 28 bytes -> 4 x 56-bit LE felts (txid224 twin)."""
     out = []
@@ -295,9 +308,10 @@ class SigHashCircuit:
         next_script_sha = digests[-1]
 
         # commitment root must match the accelerator proof's public input
+        from .sha256_accelerator import _pad4
         leaves = []
         for (msg,), dig in zip(planner_pairs, digests):
-            words_m = [w.target for w in g.bytes_to_u32_words(msg)]
+            words_m = [w.target for w in g.bytes_to_u32_words(_pad4(b, msg))]
             for t in dig:
                 b.range_check(t, 8)
             words_d = [w.target for w in g.bytes_to_u32_words(dig)]

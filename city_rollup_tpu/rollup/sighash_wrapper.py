@@ -95,14 +95,31 @@ class SigHashWrapperCircuit:
 @dataclasses.dataclass
 class SigHashFinalGLCircuit:
     """Final per-tx-input proof: binds the introspection result to the
-    rollup's state transition. Public inputs:
-    [sighash_felt252 (4), state_transition_hash (4)]."""
+    rollup's state transition IN-CIRCUIT (sighash_final_gl.rs:39-160 twin).
+
+    The block transition proof exposes
+    ``[old_city_root(4), new_city_root(4), wd_events(4), dep_events(4)]``
+    (op_circuits.make_block_transition); the sighash wrapper proof exposes
+    ``[finalized_hash(4), sighash_felt252(4)]``. This circuit recomputes the
+    finalized introspection hash with every component CONSTRAINED to the
+    transition proof: the covenant state hashes are the felt248 packings of
+    the actual old/new city roots (felt248_of_hashout, the twin of
+    felthash248.rs connect_full_hashout_to_felt248_hashout), and the
+    deposit/withdrawal event roots are the transition proof's own event
+    hashes. Only the balances and spend index remain free witnesses (they
+    are bound to the L1 tx bytes by the sighash circuit itself).
+
+    Public inputs: [cur_state_felt248(4), sighash_felt252(4)] — the pair
+    the Groth16 wrap attests to (reference exposes the same data as bits
+    for gnark; we keep felts and let the wrap statement define its own
+    encoding)."""
     data: CircuitData
     targets: dict
 
     @classmethod
     def build(cls, config: CircuitConfig, transition_data: CircuitData,
               wrapper_data: CircuitData) -> "SigHashFinalGLCircuit":
+        from .sighash_circuit import felt248_of_hashout
         b = CircuitBuilder(config)
 
         # verify both proofs under constant verifier data
@@ -115,51 +132,43 @@ class SigHashFinalGLCircuit:
         vdt_w = recursion.constant_verifier_data(b, wrapper_data.verifier)
         recursion.verify_proof_gadget(b, pt_w, wrapper_data.common, vdt_w)
 
-        # recompute the finalized introspection hash from its components
-        dep_root = b.add_virtual_hash()
-        wd_root = b.add_virtual_hash()
-        cur_state = b.add_virtual_hash()
-        next_state = b.add_virtual_hash()
+        old_root = list(pt_tr.public_inputs[0:4])
+        new_root = list(pt_tr.public_inputs[4:8])
+        wd_events = list(pt_tr.public_inputs[8:12])
+        dep_events = list(pt_tr.public_inputs[12:16])
+
+        # covenant state hashes = felt248 packing of the proven city roots
+        cur_state = felt248_of_hashout(b, old_root)
+        next_state = felt248_of_hashout(b, new_root)
+
+        # balances + spend index stay witnesses (tx-byte-bound inside the
+        # sighash circuit via the finalized hash)
         cur_bal = b.add_virtual_target()
         next_bal = b.add_virtual_target()
         spend_idx = b.add_virtual_target()
+
+        # recompute the finalized introspection hash — component order must
+        # match SigHashCircuit.build (dep, wd, cur, next, balances, idx)
         finalized = b.hash_n_to_hash_no_pad(
-            dep_root + wd_root + cur_state + next_state +
+            dep_events + wd_events + cur_state + next_state +
             [cur_bal, next_bal, spend_idx])
         b.connect_hashes(finalized, pt_w.public_inputs[0:4])
 
-        # the rollup state transition: transition proof exposes
-        # [allowed(4), H(old_city_root, new_city_root)(4)]; the
-        # introspection state hashes are felt248 packings of those roots'
-        # canonical byte encodings — bound here through the shared virtual
-        # roots (the orchestrator supplies byte-identical encodings).
-        old_root = b.add_virtual_hash()
-        new_root = b.add_virtual_hash()
-        tr_hash = b.hash_two_to_one(old_root, new_root)
-        b.connect_hashes(tr_hash, pt_tr.public_inputs[4:8])
-
+        b.register_public_inputs(list(cur_state))
         b.register_public_inputs(list(pt_w.public_inputs[4:8]))
-        b.register_public_inputs(list(tr_hash))
         data = b.build()
         return cls(data=data, targets={
-            "pt_tr": pt_tr, "pt_w": pt_w, "dep_root": dep_root,
-            "wd_root": wd_root, "cur_state": cur_state,
-            "next_state": next_state, "cur_bal": cur_bal,
-            "next_bal": next_bal, "spend_idx": spend_idx,
-            "old_root": old_root, "new_root": new_root})
+            "pt_tr": pt_tr, "pt_w": pt_w, "cur_bal": cur_bal,
+            "next_bal": next_bal, "spend_idx": spend_idx})
 
     def prove(self, transition_proof: Proof, wrapper_proof: Proof,
               components: dict) -> Proof:
-        """components: dep_root/wd_root/cur_state/next_state (4 felts
-        each), cur_bal/next_bal/spend_idx ints, old_root/new_root."""
+        """components: cur_bal/next_bal/spend_idx ints (everything else is
+        derived in-circuit from the two proofs)."""
         t = self.targets
         pw = self.data._builder.partial_witness()
         recursion.set_proof_witness(pw, t["pt_tr"], transition_proof)
         recursion.set_proof_witness(pw, t["pt_w"], wrapper_proof)
-        for name in ("dep_root", "wd_root", "cur_state", "next_state",
-                     "old_root", "new_root"):
-            for tt, v in zip(t[name], components[name]):
-                pw.set(tt, int(v))
         for name in ("cur_bal", "next_bal", "spend_idx"):
             pw.set(t[name], int(components[name]))
         return snark_prover.prove(self.data, pw)

@@ -33,11 +33,16 @@ def _transition_from(d: dict) -> AggStateTransition:
 
 class Worker:
     def __init__(self, toolbox: CircuitToolbox, store: QProofStore,
-                 hub: QueueHub, mode: WorkerMode = WorkerMode.ALL):
+                 hub: QueueHub, mode: WorkerMode = WorkerMode.ALL,
+                 sighash_toolbox=None):
+        """`sighash_toolbox`: optional rollup.sighash_toolbox.SigHashToolbox
+        enabling the SIGHASH_* / WRAP_* circuit types (reference: the worker
+        root toolbox carries the sighash circuits, root.rs:53-139)."""
         self.toolbox = toolbox
         self.store = store
         self.hub = hub
         self.mode = mode
+        self.sighash = sighash_toolbox
         self.benchmarks: list[JobBenchmark] = []
 
     # -- event loop ------------------------------------------------------------
@@ -62,8 +67,24 @@ class Worker:
         return True
 
     def process_job(self, job: JobID):
-        proof = self.prove_job(job)
-        self.store.set_bytes(job.output_proof_id(), encode_proof(proof))
+        from .job_id import CircuitType
+        if job.circuit_type == CircuitType.WRAP_FINAL_SIGHASH_PROOF_BLS12381:
+            # terminal wrap: output is CityGroth16ProofData JSON, not a
+            # Goldilocks proof (root.rs:256-318)
+            import json
+            assert self.sighash is not None, "worker lacks sighash toolbox"
+            raw = self.store.get_bytes(job.input_witness_id())
+            w = decode_witness(raw)
+            final = self._child_proof(w["final"])
+            res = self.sighash.wrap_groth16(final)
+            payload = {"proof_data": res["proof_data"],
+                       "public_inputs": [str(x)
+                                         for x in res["public_inputs"]]}
+            self.store.set_bytes(job.output_proof_id(),
+                                 json.dumps(payload).encode())
+        else:
+            proof = self.prove_job(job)
+            self.store.set_bytes(job.output_proof_id(), encode_proof(proof))
         for nj in self.store.on_job_complete(job):
             if nj.topic == JobTopic.NOTIFY_ORCHESTRATOR_COMPLETE:
                 self.hub.dispatch(Q_NOTIFICATIONS, nj.to_bytes())
@@ -125,4 +146,22 @@ class Worker:
                 [tuple(r) for r in w["u_roots"]],
                 [tuple(r) for r in w["w_roots"]],
                 [tuple(r) for r in w["d_roots"]])
+
+        # -- sighash chain (finalizer.rs/job_planner.rs circuit types 21-24) --
+        if ct == CircuitType.SIGHASH_INTROSPECTION:
+            assert self.sighash is not None, "worker lacks sighash toolbox"
+            from .btc import BlockSpendIntrospectionHint
+            hint = BlockSpendIntrospectionHint.from_dict(w["hint"])
+            return self.sighash.prove_introspection(hint)
+        if ct == CircuitType.SIGHASH_WRAPPER:
+            assert self.sighash is not None, "worker lacks sighash toolbox"
+            child = self._child_proof(w["child"])
+            return self.sighash.prove_wrapper(child, int(w["gid"]))
+        if ct == CircuitType.SIGHASH_FINAL_GL:
+            assert self.sighash is not None, "worker lacks sighash toolbox"
+            tr = self._child_proof(w["transition"])
+            wr = self._child_proof(w["wrapper"])
+            return self.sighash.prove_final(
+                tr, wr, {"cur_bal": w["cur_bal"], "next_bal": w["next_bal"],
+                         "spend_idx": w["spend_idx"]})
         raise ValueError(f"unknown circuit type {ct}")

@@ -51,6 +51,13 @@ class ZKSignatureInnerCircuit:
 
     @classmethod
     def build(cls, config: CircuitConfig) -> "ZKSignatureInnerCircuit":
+        """Built in the zk (blinded) variant of `config` — the openings of
+        a signature proof must not leak sk (reference uses
+        standard_recursion_zk_config here, zk_signature/inner.rs:50; our zk
+        mode: CircuitConfig.num_blinding_rows)."""
+        import dataclasses as _dc
+        if not config.zk:
+            config = _dc.replace(config, zk=True)
         b = CircuitBuilder(config)
         sk = b.add_virtual_targets(4)
         action = b.add_virtual_hash()

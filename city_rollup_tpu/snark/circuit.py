@@ -517,7 +517,7 @@ class CircuitBuilder:
                 self.connect(Wire(pi_row, i), self.zero())
 
         # pad to power-of-two rows (noop rows)
-        n_rows = len(self.rows)
+        n_rows = len(self.rows) + cfg.num_blinding_rows
         log_n = max(3, (n_rows - 1).bit_length())
         if min_log_n is not None:
             assert log_n <= min_log_n, (
@@ -526,7 +526,7 @@ class CircuitBuilder:
             log_n = min_log_n
         n = 1 << log_n
         rows: list[GateInstance | None] = list(self.rows) + \
-            [None] * (n - n_rows)
+            [None] * (n - len(self.rows))
 
         # unique gates + selector groups: declared gates first (canonical,
         # shape-shared), then any others by first appearance

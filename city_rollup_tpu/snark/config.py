@@ -15,7 +15,23 @@ class CircuitConfig:
     num_constants: int = 2              # circuit constant columns
     num_challenges: int = 2             # permutation-argument repetitions
     max_constraint_degree: int = 8      # quotient degree factor
+    zk: bool = False                    # witness-blinding mode (below)
     fri: FriConfig = dataclasses.field(default_factory=FriConfig)
+
+    @property
+    def num_blinding_rows(self) -> int:
+        """zk mode (reference: standard_recursion_zk_config, used by the
+        zk-signature inner circuit, zk_signature/inner.rs:50): the prover
+        fills this many gate-less padding rows of EVERY wire column with
+        fresh randomness. Padding rows run no gate (sentinel selector
+        filters every constraint) and are copy-constraint fixed points
+        (ratio 1 in the permutation argument), so soundness is unchanged;
+        with more blinding rows than total opened evaluations per polynomial
+        (zeta + FRI query openings), the openings of the wire polynomials
+        are statistically independent of the witness. plonky2 additionally
+        salts the Merkle leaves; that (and blinding of the Z/partial-product
+        columns) is the remaining delta to its exact zk config."""
+        return self.fri.num_query_rounds + 4 if self.zk else 0
 
     # permutation-argument chunking: 7 factors/step keeps degree <= 8
     @property

@@ -242,6 +242,17 @@ def prove(data: CircuitData, pw: PartialWitness) -> Proof:
     pis = [pw.get(t) or 0 for t in pd.pi_targets]
     pi_hash = public_inputs_hash(pis)
 
+    # zk blinding: fill trailing gate-less padding rows of every wire
+    # column with CSPRNG randomness (see CircuitConfig.num_blinding_rows)
+    if cfg.num_blinding_rows:
+        import secrets
+        nb = cfg.num_blinding_rows
+        assert all(pd.rows[r] is None for r in range(n - nb, n)), \
+            "zk blinding rows must be gate-less padding"
+        rnd = np.frombuffer(secrets.token_bytes(8 * cfg.num_wires * nb),
+                            dtype=np.uint64).reshape(cfg.num_wires, nb)
+        wires[:, n - nb:] = rnd % np.uint64(P)
+
     # 2. wire commitment
     wire_coeffs, wire_ldes = interp_and_lde(wires, log_n, rate_bits)
     wires_tree = merkle.MerkleTree(gl64.from_u64(wire_ldes.T), cap_h)

@@ -111,28 +111,41 @@ class SecpGadget:
         a hinted is_neg bit verified via x1≡x2 ∧ y1+y2≡0."""
         big, b = self.big, self.b
         lam = big.add_virtual_biguint(N_LIMBS)
+        inv_dx = big.add_virtual_biguint(N_LIMBS)
         is_double = b.add_virtual_target()
         is_neg = b.add_virtual_target()
 
-        def gen(pw, _p1=p1, _p2=p2, _lam=lam, _d=is_double, _n=is_neg):
+        def gen(pw, _p1=p1, _p2=p2, _lam=lam, _idx=inv_dx, _d=is_double,
+                _n=is_neg):
+            # hint semantics: pre-set values win (soundness rests on the
+            # constraints below, never on this generator — tests exercise
+            # adversarial hints by pre-setting these targets)
+            if pw.get(_d) is not None and pw.get(_lam.limbs[0]) is not None:
+                return
             a1 = self.get_point(pw, _p1)
             a2 = self.get_point(pw, _p2)
             dbl = (not a1.infinity and not a2.infinity and
                    a1.x == a2.x and a1.y == a2.y)
             neg = (not a1.infinity and not a2.infinity and
                    a1.x == a2.x and (a1.y + a2.y) % SECP_P == 0 and not dbl)
-            pw.set(_d, 1 if dbl else 0)
-            pw.set(_n, 1 if neg else 0)
+            if pw.get(_d) is None:
+                pw.set(_d, 1 if dbl else 0)
+            if pw.get(_n) is None:
+                pw.set(_n, 1 if neg else 0)
+            inv_v = 0
             if a1.infinity or a2.infinity or neg:
                 lam_v = 0
             elif dbl:
                 lam_v = (3 * a1.x * a1.x *
                          pow(2 * a1.y % SECP_P, -1, SECP_P)) % SECP_P
             else:
-                lam_v = ((a2.y - a1.y) *
-                         pow((a2.x - a1.x) % SECP_P, -1, SECP_P)) % SECP_P
+                inv_v = pow((a2.x - a1.x) % SECP_P, -1, SECP_P)
+                lam_v = ((a2.y - a1.y) * inv_v) % SECP_P
             big = self.big
-            big.set_biguint(pw, _lam, lam_v)
+            if pw.get(_lam.limbs[0]) is None:
+                big.set_biguint(pw, _lam, lam_v)
+            if pw.get(_idx.limbs[0]) is None:
+                big.set_biguint(pw, _idx, inv_v)
 
         deps = (list(p1.x.limbs) + list(p1.y.limbs) + [p1.is_inf] +
                 list(p2.x.limbs) + list(p2.y.limbs) + [p2.is_inf])
@@ -154,6 +167,14 @@ class SecpGadget:
         gate_add = b.mul(live, b.sub(b.one(), is_double))
         for limb in lhs_add.limbs:
             b.assert_zero(b.mul(gate_add, limb))
+        # case-bit soundness: in the add case, dx must be INVERTIBLE mod p
+        # (hinted inverse, product == 1) — otherwise a prover could claim
+        # is_double=0 on an equal-point add, degenerate the slope check to
+        # λ·0 == 0, and pick λ freely (forgeable ECDSA).
+        dx_prod = big.mul_mod(dx, inv_dx, SECP_P)
+        b.assert_zero(b.mul(gate_add, b.add_const(dx_prod.limbs[0], P - 1)))
+        for limb in dx_prod.limbs[1:]:
+            b.assert_zero(b.mul(gate_add, limb))
 
         two_y = big.add_mod(p1.y, p1.y, SECP_P)
         x1sq = big.mul_mod(p1.x, p1.x, SECP_P)
@@ -162,6 +183,12 @@ class SecpGadget:
                               SECP_P)
         gate_dbl = b.mul(live, is_double)
         for limb in lhs_dbl.limbs:
+            b.assert_zero(b.mul(gate_dbl, limb))
+        # case-bit soundness: is_double=1 requires actual point equality
+        # (x1 == x2 and y1 == y2 mod p)
+        for limb in dx.limbs:
+            b.assert_zero(b.mul(gate_dbl, limb))
+        for limb in dy.limbs:
             b.assert_zero(b.mul(gate_dbl, limb))
 
         # is_neg consistency: gated x1≡x2 and y1+y2≡0
@@ -185,7 +212,11 @@ class SecpGadget:
         res_inf = b.mul(p1.is_inf, p2.is_inf)     # both inf -> inf
         # annihilation: both finite and negatives
         res_inf = b.add(res_inf, b.mul(both, is_neg))
-        return PointTarget(x=res_x, y=res_y, is_inf=res_inf)
+        out = PointTarget(x=res_x, y=res_y, is_inf=res_inf)
+        # hint targets exposed for adversarial soundness tests
+        out.hints = {"lam": lam, "inv_dx": inv_dx, "is_double": is_double,
+                     "is_neg": is_neg}
+        return out
 
     def scalar_mul(self, k_bits: list, pt: PointTarget) -> PointTarget:
         """MSB-first double-and-add over boolean targets `k_bits`

@@ -217,13 +217,38 @@ class Sha256Gadget:
             out.extend(byts)
         return out
 
+    def _pad_blocks_bytes(self, byte_targets: list) -> list:
+        """FIPS padding at BYTE granularity (arbitrary message length —
+        sighash preimages are not 4-byte-aligned): the 0x80 marker lands
+        inside the trailing partial word when len % 4 != 0."""
+        b = self.b
+        u = self.u32
+        n = len(byte_targets)
+        full = n - (n % 4)
+        words = self.bytes_to_u32_words(byte_targets[:full])
+        if n % 4:
+            rem = byte_targets[full:]
+            acc = b.zero()
+            for j, byte in enumerate(rem):
+                b.range_check(byte, 8)
+                acc = b.arithmetic(1 << (8 * (3 - j)), 1, byte, b.one(),
+                                   acc)
+            acc = b.add_const(acc, 0x80 << (8 * (3 - len(rem))))
+            words.append(U32Target(acc))
+        else:
+            words.append(u.constant_u32(0x80000000))
+        padded = list(words)
+        while (len(padded) + 2) % 16 != 0:
+            padded.append(u.zero_u32())
+        bit_len = 8 * n
+        padded.append(u.constant_u32((bit_len >> 32) & 0xFFFFFFFF))
+        padded.append(u.constant_u32(bit_len & 0xFFFFFFFF))
+        return [padded[i:i + 16] for i in range(0, len(padded), 16)]
+
     def sha256_bytes(self, byte_targets: list) -> list:
-        """SHA256 of a fixed-length byte message (targets); returns 32 byte
-        targets. Message length must be a multiple of 4 bytes (all rollup
-        uses are: 32/64-byte hashes, 4-byte-aligned tx fields)."""
-        words = self.bytes_to_u32_words(byte_targets)
-        digest = self.digest_blocks(
-            self.pad_message_u32(words, 8 * len(byte_targets)))
+        """SHA256 of a fixed-length byte message (targets) of ANY length;
+        returns 32 byte targets."""
+        digest = self.digest_blocks(self._pad_blocks_bytes(byte_targets))
         return self.u32_words_to_bytes(digest)
 
     def sha256d_bytes(self, byte_targets: list) -> list:

@@ -38,7 +38,7 @@ def test_full_block_in_memory():
         register_users=[orch_mod.RegisterUser(2, (3, 3, 3, 3))],
         token_transfers=[orch_mod.TokenTransfer(0, 1, 250),
                          orch_mod.TokenTransfer(0, 1, 100)],
-        add_withdrawals=[orch_mod.AddWithdrawal(1, 0, (9, 9, 9, 9), 50)],
+        add_withdrawals=[orch_mod.AddWithdrawal(1, 0, (9, 9, 9), 50)],
     )
     planned = orch.plan_block(1, reqs)
     assert planned.start_city_root != planned.end_city_root

@@ -76,12 +76,12 @@ def test_city_store_user_lifecycle():
 
 def test_city_store_deposit_withdrawal():
     cs = city_store.CityStore()
-    d = cs.add_deposit(1, 0, (1, 2, 3, 4), (5, 6, 7, 8), 5000)
+    pk9 = tuple(range(1, 10))
+    d = cs.add_deposit(1, 0, (1, 2, 3, 4), pk9, 5000)
     assert d.verify()
     c = cs.mark_deposit_as_claimed(1, 0)
-    assert c.old_value == city_store.hash_deposit((1, 2, 3, 4), (5, 6, 7, 8),
-                                                  5000)
-    w = cs.add_withdrawal(1, 0, (9, 9, 9, 9), 250)
+    assert c.old_value == city_store.hash_deposit((1, 2, 3, 4), pk9, 5000)
+    w = cs.add_withdrawal(1, 0, (9, 9, 9), 250)
     assert w.verify()
     assert cs.mark_withdrawal_as_completed(1, 0).verify()
 

@@ -63,6 +63,52 @@ def test_biguint_add_sub_mod():
     assert big.get_biguint(pw, d) == (xv - yv) % m
 
 
+def test_point_add_forged_case_bits_rejected():
+    """Soundness (round-4 fix): a prover claiming is_double=0 on an
+    equal-point add (free λ) or is_double=1 on a distinct-point add must
+    violate constraints — the case bits are constrained against actual
+    point equality / dx invertibility, not just hinted."""
+    b = CircuitBuilder(CFG)
+    g = SecpGadget(b)
+    p1 = g.add_virtual_point()
+    p2 = g.add_virtual_point()
+    out = g.point_add(p1, p2)
+    data = b.build()
+
+    g_pt = curve.GENERATOR
+    two_g = curve.add(g_pt, g_pt)
+
+    def forged(a1, a2, is_double, lam, inv_dx):
+        """Returns True iff the forged hint assignment is rejected — either
+        as a constraint violation (check_witness) or as a copy-constraint
+        conflict during witness materialization (assert_zero wires are
+        unioned with the zero constant, so an unsatisfiable assignment
+        surfaces as a ValueError; a hand-crafted wire matrix violating the
+        same copy constraint fails the permutation argument instead)."""
+        pw = b.partial_witness()
+        g.set_point(pw, p1, a1)
+        g.set_point(pw, p2, a2)
+        h = out.hints
+        pw.set(h["is_double"], is_double)
+        pw.set(h["is_neg"], 0)
+        bg = BigUintBuilder(b)
+        bg.set_biguint(pw, h["lam"], lam)
+        bg.set_biguint(pw, h["inv_dx"], inv_dx)
+        try:
+            wires = generate_witness(data, pw)
+        except ValueError:
+            return True
+        pis = [pw.get(t) or 0 for t in data.prover.pi_targets]
+        return check_witness(data, wires, public_inputs_hash(pis)) != []
+
+    # forgery 1: equal points, claim add-case with arbitrary λ
+    assert forged(g_pt, g_pt, 0, 0xDEADBEEF, 12345), \
+        "equal-point add with is_double=0 must be rejected"
+    # forgery 2: distinct points, claim doubling with arbitrary λ
+    assert forged(g_pt, two_g, 1, 0xDEADBEEF, 0), \
+        "distinct-point add with is_double=1 must be rejected"
+
+
 def test_point_add_cases():
     b = CircuitBuilder(CFG)
     g = SecpGadget(b)

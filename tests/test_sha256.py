@@ -38,6 +38,20 @@ def test_sha256_two_blocks():
     assert _run(msg) == hashlib.sha256(msg).digest()
 
 
+def test_sha256_unaligned_lengths():
+    """Byte-granular FIPS padding (sighash preimages are rarely 4-byte
+    aligned; round-4 fix)."""
+    for n in (1, 3, 53, 55, 56, 203):
+        msg = bytes((7 * i + 1) % 256 for i in range(n))
+        assert _run(msg) == hashlib.sha256(msg).digest(), n
+
+
+def test_sha256d_unaligned():
+    msg = bytes(range(41))
+    assert _run(msg, double=True) == hashlib.sha256(
+        hashlib.sha256(msg).digest()).digest()
+
+
 def test_sha256d():
     msg = b"city-rollup-tpu!" * 2
     expect = hashlib.sha256(hashlib.sha256(msg).digest()).digest()

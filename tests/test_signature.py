@@ -83,6 +83,24 @@ def test_sign_and_verify_wrapper():
     assert not wrapper.verify(tampered)
 
 
+def test_zk_blinding_distinct_openings():
+    """zk mode (VERDICT r3 item 9): two proofs of the SAME statement with
+    the same sk must expose different wire openings (the openings carry
+    blinding randomness, not bare witness evaluations), and both verify."""
+    from city_rollup_tpu.rollup.zk_signature import ZKSignatureInnerCircuit
+    inner = ZKSignatureInnerCircuit.build(SMALL)
+    assert inner.data.common.config.zk
+    assert inner.data.common.config.num_blinding_rows > 0
+    p1 = inner.sign(SK, ACTION)
+    p2 = inner.sign(SK, ACTION)
+    assert p1.public_inputs == p2.public_inputs
+    assert p1.openings.wires != p2.openings.wires, \
+        "zk openings must be randomized"
+    assert bytes(p1.wires_cap.tobytes()) != bytes(p2.wires_cap.tobytes())
+    verifier_mod.verify(p1, inner.data.common, inner.data.verifier)
+    verifier_mod.verify(p2, inner.data.common, inner.data.verifier)
+
+
 @pytest.mark.slow
 def test_minifier_chain_preserves_public_inputs():
     b = CircuitBuilder(SMALL)
