@@ -9,8 +9,8 @@ against a conservative single-socket CPU estimate for rate-8 LDE + Merkle
 commit of the same shape (plonky2-class CPU provers sustain ~2e7 LDE+commit
 elems/s/socket on a modern x86; BASELINE.md target is >=10x that).
 
-Env knobs: CITY_BENCH_LOG_N (default 14), CITY_BENCH_BATCH (default 64),
-CITY_BENCH_REPS (default 3).
+Env knobs: CITY_BENCH_LOG_N (default 20 — BASELINE config 2),
+CITY_BENCH_BATCH (default 64), CITY_BENCH_REPS (default 3).
 """
 
 import json
@@ -22,7 +22,7 @@ CPU_BASELINE_ELEMS_PER_S = 2.0e7
 
 
 def main():
-    log_n = int(os.environ.get("CITY_BENCH_LOG_N", "14"))
+    log_n = int(os.environ.get("CITY_BENCH_LOG_N", "20"))
     batch = int(os.environ.get("CITY_BENCH_BATCH", "64"))
     reps = int(os.environ.get("CITY_BENCH_REPS", "3"))
     rate_bits, cap_height = 3, 4

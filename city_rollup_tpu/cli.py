@@ -175,6 +175,47 @@ def cmd_l2_worker(args):
     return 0
 
 
+def cmd_api_server(args):
+    """Read-only query API (city_rollup_core_api role)."""
+    from .rollup.city_store import CityStore
+    from .rollup.netstore import NetProofStore
+    from .services.api_server import make_api_server
+    city = CityStore()
+    proof_store = None
+    if args.store:
+        host, port = args.store.rsplit(":", 1)
+        proof_store = NetProofStore(host, int(port))
+    srv = make_api_server(city, proof_store, args.host, args.port)
+    print(json.dumps({"listening": srv.url}), flush=True)
+    srv.serve_forever()
+    return 0
+
+
+def cmd_rpc_server(args):
+    """Tx-ingress JSON-RPC node (city_rollup_core_node role)."""
+    from .rollup.netstore import NetQueueHub
+    from .services.node import make_node_server
+    host, port = args.store.rsplit(":", 1)
+    hub = NetQueueHub(host, int(port))
+    srv = make_node_server(hub, args.host, args.port, api_url=args.api_url)
+    print(json.dumps({"listening": srv.url}), flush=True)
+    srv.serve_forever()
+    return 0
+
+
+def cmd_user_prover(args):
+    """User signature-proving service (city_rollup_user_prover_api role)."""
+    from .rollup.circuits import DEFAULT_PARAMS, FAST_TEST_PARAMS
+    from .rollup.zk_signature import ZKSignatureWrapperCircuit
+    from .services.user_prover import make_user_prover_server
+    params = FAST_TEST_PARAMS if args.fast else DEFAULT_PARAMS
+    wrapper = ZKSignatureWrapperCircuit.build(params.config)
+    srv = make_user_prover_server(wrapper, host=args.host, port=args.port)
+    print(json.dumps({"listening": srv.url}), flush=True)
+    srv.serve_forever()
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="city_rollup_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -215,6 +256,28 @@ def main(argv=None):
                     help="exit after this many idle seconds (0 = never)")
     lw.add_argument("--poll-interval", type=float, default=0.25)
     lw.set_defaults(fn=cmd_l2_worker)
+
+    asrv = sub.add_parser("api-server", help="read-only query API")
+    asrv.add_argument("--host", default="127.0.0.1")
+    asrv.add_argument("--port", type=int, default=7445)
+    asrv.add_argument("--store", default=None,
+                      help="netstore host:port for proof-store inspection")
+    asrv.set_defaults(fn=cmd_api_server)
+
+    rsrv = sub.add_parser("rpc-server", help="tx-ingress JSON-RPC node")
+    rsrv.add_argument("--host", default="127.0.0.1")
+    rsrv.add_argument("--port", type=int, default=7444)
+    rsrv.add_argument("--store", default="127.0.0.1:7450",
+                      help="netstore host:port (queues)")
+    rsrv.add_argument("--api-url", default=None,
+                      help="forward unknown methods here")
+    rsrv.set_defaults(fn=cmd_rpc_server)
+
+    up = sub.add_parser("user-prover", help="user signature proving service")
+    up.add_argument("--host", default="127.0.0.1")
+    up.add_argument("--port", type=int, default=7446)
+    up.add_argument("--fast", action="store_true")
+    up.set_defaults(fn=cmd_user_prover)
 
     args = p.parse_args(argv)
     return args.fn(args)

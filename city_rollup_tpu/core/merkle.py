@@ -123,6 +123,56 @@ class MerkleTree:
         return siblings
 
 
+class BatchedMerkleTree:
+    """B trees built together: leaf data (B, N, k) -> per-level digests
+    (B, n, 4), each level ONE device call for the whole batch — the
+    same-shape batched-proving path (all proofs of an aggregation level
+    commit their wire matrices in one kernel launch; SURVEY.md §2.11
+    "levels batched")."""
+
+    def __init__(self, leaf_data, cap_height: int = 0):
+        digests = hash_leaves(leaf_data)            # (B, N, 4)
+        bsz, n = digests[0].shape[0], digests[0].shape[1]
+        assert n & (n - 1) == 0
+        assert (1 << cap_height) <= n
+        self.batch = bsz
+        self.num_leaves = n
+        self.cap_height = cap_height
+        levels = [digests]
+        cur = digests
+        while cur[0].shape[1] > (1 << cap_height):
+            lo, hi = cur
+            left = (lo[:, 0::2, :], hi[:, 0::2, :])
+            right = (lo[:, 1::2, :], hi[:, 1::2, :])
+            cur = poseidon.two_to_one(left, right)
+            levels.append(cur)
+        self.levels = levels
+
+    @property
+    def cap(self):
+        """(B, 2^cap_height, 4)."""
+        return self.levels[-1]
+
+    def cap_u64(self, b: int) -> np.ndarray:
+        caps = self._host_levels()[-1]
+        return caps[b]
+
+    def _host_levels(self) -> list[np.ndarray]:
+        if not hasattr(self, "_levels_np"):
+            self._levels_np = [
+                gl64.to_u64(np.asarray(lv[0]), np.asarray(lv[1]))
+                for lv in self.levels]
+        return self._levels_np
+
+    def prove(self, b: int, index: int) -> list[list[int]]:
+        siblings = []
+        idx = index
+        for level in self._host_levels()[:-1]:
+            siblings.append([int(x) for x in level[b, idx ^ 1]])
+            idx >>= 1
+        return siblings
+
+
 def h_verify_merkle_proof(leaf_digest: list[int], index: int,
                           siblings: list[list[int]],
                           cap: np.ndarray) -> bool:

@@ -138,3 +138,25 @@ def dist_coset_lde(mesh: Mesh, coeffs, log_n: int, rate_bits: int,
 
     padded = scale_pad(coeffs[0], coeffs[1])
     return dist_ntt(mesh, padded, log_m)
+
+
+def dist_batched_coset_lde(mesh: Mesh, coeffs, log_n: int, rate_bits: int,
+                           shift: int = gl64.MULTIPLICATIVE_GROUP_GENERATOR):
+    """Batched LDE with the POLY axis sharded across the mesh (pure data
+    parallelism — the shape block proving uses: all wire polynomials of a
+    circuit in one device call, each device transforming its slice with the
+    single-chip kernel; no cross-device traffic).
+
+    coeffs: (lo, hi) of shape (B, 2^log_n) with B % n_devices == 0."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    assert coeffs[0].shape[0] % n_dev == 0, \
+        "poly batch must divide the mesh"
+
+    def body(lo, hi):
+        return ntt_mod.coset_lde((lo, hi), log_n, rate_bits, shift)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(axis, None), P(axis, None)),
+                   out_specs=(P(axis, None), P(axis, None)))
+    return jax.jit(fn)(coeffs[0], coeffs[1])

@@ -78,6 +78,62 @@ class KVQMemoryStore(KVQBinaryStore):
         return kv[1] if kv else None
 
 
+class KVQSqliteStore(KVQBinaryStore):
+    """Durable, transactional sorted-KV over sqlite3 — the true equivalent
+    of the reference's redb backend (kvq_store_redb/src/lib.rs): state
+    survives process exit/crash, and the fuzzy get_leq range read maps to
+    one indexed ORDER BY query. WAL mode keeps concurrent readers cheap."""
+
+    def __init__(self, path: str = ":memory:"):
+        import sqlite3
+        self._db = sqlite3.connect(path, check_same_thread=False)
+        self._db.execute("PRAGMA journal_mode=WAL")
+        self._db.execute(
+            "CREATE TABLE IF NOT EXISTS kv (k BLOB PRIMARY KEY, v BLOB)")
+        self._db.commit()
+        import threading
+        self._lock = threading.Lock()
+
+    def get(self, key: bytes) -> Optional[bytes]:
+        with self._lock:
+            row = self._db.execute("SELECT v FROM kv WHERE k = ?",
+                                   (key,)).fetchone()
+        return row[0] if row else None
+
+    def set(self, key: bytes, value: bytes) -> None:
+        with self._lock:
+            self._db.execute(
+                "INSERT INTO kv (k, v) VALUES (?, ?) "
+                "ON CONFLICT(k) DO UPDATE SET v = excluded.v",
+                (key, value))
+            self._db.commit()
+
+    def delete(self, key: bytes) -> bool:
+        with self._lock:
+            cur = self._db.execute("DELETE FROM kv WHERE k = ?", (key,))
+            self._db.commit()
+            return cur.rowcount > 0
+
+    def get_leq_kv(self, key: bytes, fuzzy_bytes: int
+                   ) -> Optional[tuple[bytes, bytes]]:
+        assert fuzzy_bytes <= len(key)
+        lo = key[: len(key) - fuzzy_bytes] + b"\x00" * fuzzy_bytes
+        with self._lock:
+            row = self._db.execute(
+                "SELECT k, v FROM kv WHERE k <= ? AND k >= ? "
+                "ORDER BY k DESC LIMIT 1", (key, lo)).fetchone()
+        if row is None:
+            return None
+        return bytes(row[0]), bytes(row[1])
+
+    def get_leq(self, key: bytes, fuzzy_bytes: int) -> Optional[bytes]:
+        kv = self.get_leq_kv(key, fuzzy_bytes)
+        return kv[1] if kv else None
+
+    def close(self):
+        self._db.close()
+
+
 class KVQFileStore(KVQMemoryStore):
     """Durable variant: snapshot/load the whole map to a file (stand-in for
     the reference's redb backend, kvq_store_redb; suits checkpoint/resume)."""

@@ -48,8 +48,9 @@ class ClaimDeposit:
     user_id: int
     deposit_id: int
     txid224: Digest
-    public_key: Digest
+    public_key: tuple               # 9-felt compressed L1 pubkey packing
     value: int
+    l1_signature_proof: str | None = None    # encoded proof hex
 
 
 @dataclasses.dataclass
@@ -57,14 +58,16 @@ class TokenTransfer:
     from_user: int
     to_user: int
     value: int
+    signature_proof: str | None = None       # zk-wrapper proof hex
 
 
 @dataclasses.dataclass
 class AddWithdrawal:
     user_id: int
     withdrawal_id: int
-    address: Digest
+    address: tuple                  # 3-limb hash160 packing
     value: int
+    signature_proof: str | None = None
 
 
 @dataclasses.dataclass
@@ -121,6 +124,33 @@ DUMMY_CT = {
 def _t_dict(t: AggStateTransition) -> dict:
     return {"start": list(t.start), "end": list(t.end),
             "events": list(t.events)}
+
+
+# -- host twins of the in-circuit signature action hashes ----------------------
+# (what a user signs; op_gadgets.sig_action_hash / op_circuits pin these)
+
+def transfer_action_hash(params, sender_uid: int, new_nonce: int,
+                         receiver_uid: int, value: int) -> list[int]:
+    from . import op_gadgets as og
+    return poseidon_host.hash_no_pad(
+        [params.network_magic, sender_uid, og.SIG_ACTION_TRANSFER_MAGIC,
+         new_nonce, receiver_uid, value])
+
+
+def withdrawal_action_hash(params, uid: int, new_nonce: int, address: tuple,
+                           value: int) -> list[int]:
+    from . import op_gadgets as og
+    return poseidon_host.hash_no_pad(
+        [params.network_magic, uid, og.SIG_ACTION_ADD_WITHDRAWAL_MAGIC,
+         new_nonce] + list(address) + [value, params.withdrawal_fee])
+
+
+def claim_action_hash(params, uid: int, txid224: tuple,
+                      value: int) -> list[int]:
+    from . import op_gadgets as og
+    return poseidon_host.hash_no_pad(
+        [params.network_magic, uid, og.SIG_ACTION_CLAIM_DEPOSIT_MAGIC, 0] +
+        list(txid224) + [value, params.deposit_fee])
 
 
 @dataclasses.dataclass
@@ -212,9 +242,12 @@ class Orchestrator:
             dep = c.mark_deposit_as_claimed(cp, req.deposit_id)
             usr = c.increment_user_balance(
                 cp, req.user_id, req.value - self.params.deposit_fee)
-            return ({"user_id": req.user_id, "txid224": req.txid224,
-                     "public_key": req.public_key, "value": req.value,
-                     "deposit_delta": dep, "user_delta": usr},
+            fields = {"user_id": req.user_id, "txid224": req.txid224,
+                      "public_key": req.public_key, "value": req.value,
+                      "deposit_delta": dep, "user_delta": usr}
+            if getattr(req, "l1_signature_proof", None) is not None:
+                fields["l1_signature_proof"] = req.l1_signature_proof
+            return (fields,
                     AggStateTransition(_h2(usr.old_root, dep.old_root),
                                        _h2(usr.new_root, dep.new_root),
                                        ZERO))
@@ -223,9 +256,12 @@ class Orchestrator:
             snd = c.decrement_user_balance(cp, req.from_user, req.value,
                                            new_nonce=nonce + 1)
             rcv = c.increment_user_balance(cp, req.to_user, req.value)
-            return ({"sender_id": req.from_user, "receiver_id": req.to_user,
-                     "value": req.value, "sender_delta": snd,
-                     "receiver_delta": rcv},
+            fields = {"sender_id": req.from_user,
+                      "receiver_id": req.to_user, "value": req.value,
+                      "sender_delta": snd, "receiver_delta": rcv}
+            if getattr(req, "signature_proof", None) is not None:
+                fields["signature_proof"] = req.signature_proof
+            return (fields,
                     AggStateTransition(snd.old_root, rcv.new_root, ZERO))
         if family == "add_withdrawal":
             wd = c.add_withdrawal(cp, req.withdrawal_id, req.address,
@@ -234,9 +270,12 @@ class Orchestrator:
             usr = c.decrement_user_balance(
                 cp, req.user_id, req.value + self.params.withdrawal_fee,
                 new_nonce=nonce + 1)
-            return ({"user_id": req.user_id, "address": req.address,
-                     "value": req.value, "user_delta": usr,
-                     "withdrawal_delta": wd},
+            fields = {"user_id": req.user_id, "address": req.address,
+                      "value": req.value, "user_delta": usr,
+                      "withdrawal_delta": wd}
+            if getattr(req, "signature_proof", None) is not None:
+                fields["signature_proof"] = req.signature_proof
+            return (fields,
                     AggStateTransition(_h2(usr.old_root, wd.old_root),
                                        _h2(usr.new_root, wd.new_root),
                                        ZERO))
@@ -456,8 +495,8 @@ class Orchestrator:
         cp = planned.checkpoint_id
         from ..crypto.qhashout import QHashOut
 
-        old_bytes = QHashOut(tuple(planned.start_city_root)).to_bytes()
-        new_bytes = QHashOut(tuple(planned.end_city_root)).to_bytes()
+        old_bytes = QHashOut(tuple(planned.start_city_root)).to_le_bytes()
+        new_bytes = QHashOut(tuple(planned.end_city_root)).to_le_bytes()
         cur_script = bytes([btc.OP_PUSHBYTES_32]) + old_bytes + \
             ctx.script_body
         next_script = bytes([btc.OP_PUSHBYTES_32]) + new_bytes + \

@@ -112,6 +112,12 @@ class Worker:
         tb = self.toolbox
 
         if ct in OP_NAME_BY_TYPE:
+            # user signature proofs travel in the witness as encoded hex
+            # (reference: the rpc_processor assigns signature-proof job IDs
+            # and ops read them from the store, job_id.rs:288-327)
+            for key in ("signature_proof", "l1_signature_proof"):
+                if key in w:
+                    w[key] = decode_proof(bytes.fromhex(w[key]))
             return tb.prove_op(OP_NAME_BY_TYPE[ct], w)
         if ct in FAMILY_BY_DUMMY:
             return tb.prove_dummy(FAMILY_BY_DUMMY[ct],

@@ -67,5 +67,9 @@ def lift_host(v: int):
     return (v % P, 0)
 
 
-def lift_np(v: int, like):
+def lift_np(v, like):
+    """Scalar (or per-batch column array, for batched proving) -> a numpy
+    operand broadcastable against `like`-shaped domain arrays."""
+    if isinstance(v, np.ndarray):
+        return v.astype(np.uint64)
     return np.full(np.shape(like), v % P, dtype=np.uint64)

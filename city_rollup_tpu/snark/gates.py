@@ -16,6 +16,8 @@ Wire layout conventions are per-gate, documented on each class.
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..core import gl64, gl64_ext
 from .algebra import HostExtAlg, NpAlg, lift_host, lift_np
 
@@ -46,8 +48,10 @@ class Gate:
                              [lift_host(int(v)) for v in pi_hash], HostExtAlg)
 
     def eval_vec(self, wires, constants, pi_hash, ops=None):
-        """wires/constants: numpy-u64 arrays over the LDE domain."""
-        pi = [lift_np(int(v), wires[0]) for v in pi_hash]
+        """wires/constants: numpy-u64 arrays over the LDE domain ((M,) or
+        (B, M) batched); pi_hash entries: ints or (B, 1) columns."""
+        pi = [lift_np(v if isinstance(v, np.ndarray) else int(v), wires[0])
+              for v in pi_hash]
         return self.eval_alg(wires, constants, pi, NpAlg)
 
     # witness generation: fill this row's derived wires

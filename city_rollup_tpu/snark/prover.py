@@ -101,6 +101,22 @@ def np_ext_horner(coeffs: np.ndarray, point: tuple[int, int]) -> list:
     return [(int(acc0[i]), int(acc1[i])) for i in range(b)]
 
 
+def np_ext_horner_batch(coeffs: np.ndarray, points: list) -> np.ndarray:
+    """Evaluate (B, K, n) coefficient polys at per-batch extension points
+    (B of them). Returns (B, K, 2) uint64."""
+    bsz, k, n = coeffs.shape
+    z0 = np.array([p[0] for p in points], dtype=np.uint64).reshape(bsz, 1)
+    z1 = np.array([p[1] for p in points], dtype=np.uint64).reshape(bsz, 1)
+    acc0 = np.zeros((bsz, k), dtype=np.uint64)
+    acc1 = np.zeros((bsz, k), dtype=np.uint64)
+    for i in range(n - 1, -1, -1):
+        acc0, acc1 = gl64_ext.np_ext_mul(
+            (acc0, acc1), (np.broadcast_to(z0, acc0.shape),
+                           np.broadcast_to(z1, acc1.shape)))
+        acc0 = gl64.np_add(acc0, coeffs[:, :, i])
+    return np.stack([acc0, acc1], axis=-1)
+
+
 @functools.lru_cache(maxsize=None)
 def _lde_points_cached(log_m: int) -> np.ndarray:
     w = gl64.h_primitive_root_of_unity(log_m)
@@ -135,43 +151,51 @@ def _l0_lde(log_n: int, rate_bits: int) -> np.ndarray:
 # gl64 API is shape-identical and lands with the Pallas kernels)
 # ---------------------------------------------------------------------------
 
+def _as_col(v):
+    """Scalar int -> 0-d uint64; per-batch (B,) array -> (B, 1) column
+    broadcastable against (B, M) domain arrays (batched proving)."""
+    if isinstance(v, np.ndarray):
+        return v.reshape(v.shape[0], 1).astype(np.uint64)
+    return np.uint64(v % P)
+
+
 def _constraint_terms(common, ldes: dict, betas, gammas, pi_hash,
                       challenge: int):
     """Yield the canonical-order constraint evaluations over the LDE domain
     for one challenge index: [L0*(Z-1)] + chunk constraints + gate
-    constraints (filtered). Everything (M,) uint64 numpy."""
+    constraints (filtered). Domain arrays are (M,) uint64 — or (B, M) when
+    batched, with betas/gammas/pi_hash entries as (B,) arrays."""
     cfg = common.config
     R = cfg.num_routed_wires
     cs = cfg.perm_chunk_size
     num_chunks = cfg.num_perm_chunks
-    npp = cfg.num_partial_products
     rate = 1 << cfg.rate_bits
     M = common.n << cfg.rate_bits
 
     x = _lde_points_cached(common.log_n + cfg.rate_bits)
     l0 = _l0_lde(common.log_n, cfg.rate_bits)
-    beta, gamma = betas[challenge], gammas[challenge]
+    beta = _as_col(betas[challenge])
+    gamma = _as_col(gammas[challenge])
     k_is = common.k_is
 
-    z = ldes["zs"][challenge]                    # (M,)
-    pps = ldes["pps"][challenge]                 # (npp, M)
-    z_next = np.roll(z, -rate)
+    z = ldes["zs"][challenge]                    # (..., M)
+    pps = ldes["pps"][challenge]                 # (npp, ..., M)
+    z_next = np.roll(z, -rate, axis=-1)
 
     terms = []
     one = np.ones(M, dtype=np.uint64)
     terms.append(gl64.np_mul(l0, gl64.np_sub(z, one)))
 
-    gamma_v = np.full(M, gamma % P, dtype=np.uint64)
     for j in range(num_chunks):
         cols = range(j * cs, min((j + 1) * cs, R))
         num = one
         den = one
         for i in cols:
             w_i = ldes["wires"][i]
-            bkx = gl64.np_mul(x, np.uint64((beta * k_is[i]) % P))
-            n_i = gl64.np_add(gl64.np_add(w_i, bkx), gamma_v)
-            bs = gl64.np_mul(ldes["sigmas"][i], np.uint64(beta % P))
-            d_i = gl64.np_add(gl64.np_add(w_i, bs), gamma_v)
+            bkx = gl64.np_mul(x, gl64.np_mul(beta, np.uint64(k_is[i])))
+            n_i = gl64.np_add(gl64.np_add(w_i, bkx), gamma)
+            bs = gl64.np_mul(ldes["sigmas"][i], beta)
+            d_i = gl64.np_add(gl64.np_add(w_i, bs), gamma)
             num = gl64.np_mul(num, n_i)
             den = gl64.np_mul(den, d_i)
         prev = z if j == 0 else pps[j - 1]
@@ -197,7 +221,8 @@ def compute_quotients(common, ldes: dict, betas, gammas, alphas, pi_hash
                       ) -> np.ndarray:
     """Per challenge: combine constraints with alpha powers, divide by Z_H,
     interpolate, split into `quotient_chunks` degree-n chunks.
-    Returns (num_challenges * chunks, n) coefficient matrix."""
+    Returns (..., num_challenges * chunks, n) coefficients — the leading
+    batch axis rides through every pass when proving a same-shape batch."""
     cfg = common.config
     n = common.n
     M = n << cfg.rate_bits
@@ -206,10 +231,12 @@ def compute_quotients(common, ldes: dict, betas, gammas, alphas, pi_hash
     for c in range(cfg.num_challenges):
         terms = _constraint_terms(common, ldes, betas, gammas, pi_hash, c)
         acc = np.zeros(M, dtype=np.uint64)
-        apow = 1
+        alpha = _as_col(alphas[c])
+        apow = np.uint64(1) if alpha.ndim == 0 else \
+            np.ones_like(alpha)
         for t in terms:
-            acc = gl64.np_add(acc, gl64.np_mul(t, np.uint64(apow)))
-            apow = (apow * alphas[c]) % P
+            acc = gl64.np_add(acc, gl64.np_mul(t, apow))
+            apow = gl64.np_mul(apow, alpha)
         q_lde = gl64.np_mul(acc, zh_inv)
         # interpolate on the coset -> M coefficients, degree < M
         import jax
@@ -218,8 +245,8 @@ def compute_quotients(common, ldes: dict, betas, gammas, alphas, pi_hash
         jax.block_until_ready(cf)
         coeffs = gl64.to_u64(np.asarray(cf[0]), np.asarray(cf[1]))
         for j in range(cfg.quotient_chunks):
-            out.append(coeffs[j * n:(j + 1) * n])
-    return np.stack(out)
+            out.append(coeffs[..., j * n:(j + 1) * n])
+    return np.stack(out, axis=-2)
 
 
 # ---------------------------------------------------------------------------
@@ -408,3 +435,243 @@ def prove(data: CircuitData, pw: PartialWitness) -> Proof:
                  wires_cap=wires_cap, zs_pp_cap=zs_pp_cap,
                  quotient_cap=q_cap, openings=openings,
                  fri_proof=fri_proof, initial_openings=initial)
+
+
+# ---------------------------------------------------------------------------
+# Batched same-shape proving (SURVEY.md §2.11 "levels batched": all proofs
+# of an aggregation-tree level — same circuit, different witnesses — run as
+# ONE sequence of batched device calls; transcripts stay per-proof on host)
+# ---------------------------------------------------------------------------
+
+def prove_batch(data: CircuitData, pws: list[PartialWitness]) -> list[Proof]:
+    """Prove B same-circuit witnesses together. Every polynomial-sized pass
+    (LDE NTTs, Merkle levels, constraint/quotient evaluation, opening
+    reductions) carries a leading batch axis — one kernel launch for the
+    whole batch instead of B launches — while Fiat-Shamir transcripts,
+    challenges, and FRI query sampling remain per-proof (identical proofs
+    to `prove` one at a time, bar prover randomness)."""
+    import jax
+    B = len(pws)
+    if B == 1:
+        return [prove(data, pws[0])]
+    common, pd, vd = data.common, data.prover, data.verifier
+    cfg = common.config
+    n, log_n = common.n, common.log_n
+    rate_bits = cfg.rate_bits
+    M = n << rate_bits
+    R = cfg.num_routed_wires
+    nc = cfg.num_challenges
+    npp = cfg.num_partial_products
+    cap_h = min(cfg.fri.cap_height, log_n + rate_bits)
+
+    # 1. witnesses (irregular — host loop)
+    wires_list, pis_list, pi_hashes = [], [], []
+    for pw in pws:
+        w = generate_witness(data, pw)
+        if cfg.num_blinding_rows:
+            import secrets
+            nb = cfg.num_blinding_rows
+            rnd = np.frombuffer(
+                secrets.token_bytes(8 * cfg.num_wires * nb),
+                dtype=np.uint64).reshape(cfg.num_wires, nb)
+            w[:, n - nb:] = rnd % np.uint64(P)
+        wires_list.append(w)
+        pis = [pw.get(t) or 0 for t in pd.pi_targets]
+        pis_list.append(pis)
+        pi_hashes.append(public_inputs_hash(pis))
+    wires_b = np.stack(wires_list)                      # (B, W, n)
+
+    # 2. wire commitment (batched LDE + batched trees)
+    wire_coeffs, wire_ldes = interp_and_lde(wires_b, log_n, rate_bits)
+    wires_tree = merkle.BatchedMerkleTree(
+        gl64.from_u64(wire_ldes.transpose(0, 2, 1)), cap_h)
+    wire_caps = [wires_tree.cap_u64(b) for b in range(B)]
+
+    chs = []
+    betas_b, gammas_b = [], []
+    for b in range(B):
+        ch = Challenger()
+        ch.observe_hash(list(vd.circuit_digest))
+        ch.observe_cap(vd.constants_sigmas_cap)
+        ch.observe_elements(pi_hashes[b])
+        ch.observe_cap(wire_caps[b])
+        betas_b.append(ch.get_n_challenges(nc))
+        gammas_b.append(ch.get_n_challenges(nc))
+        chs.append(ch)
+    # challenge-major per-batch arrays: betas[c] -> (B,)
+    betas = [np.array([betas_b[b][c] for b in range(B)], dtype=np.uint64)
+             for c in range(nc)]
+    gammas = [np.array([gammas_b[b][c] for b in range(B)], dtype=np.uint64)
+              for c in range(nc)]
+
+    # 3. permutation columns, batched over B
+    x = pd.subgroup
+    k_is = common.k_is
+    sigmas = pd.sigmas                                   # (R, n)
+    zs_rows, pp_rows = [], []
+    for c in range(nc):
+        beta = betas[c].reshape(B, 1)
+        gamma = gammas[c].reshape(B, 1)
+        ratios = np.empty((R, B, n), dtype=np.uint64)
+        for i in range(R):
+            bkx = gl64.np_mul(x, gl64.np_mul(beta, np.uint64(k_is[i])))
+            nums = gl64.np_add(gl64.np_add(wires_b[:, i, :], bkx), gamma)
+            bs = gl64.np_mul(sigmas[i], beta)
+            dens = gl64.np_add(gl64.np_add(wires_b[:, i, :], bs), gamma)
+            ratios[i] = gl64.np_mul(nums, gl64.np_inverse(dens))
+        cs = cfg.perm_chunk_size
+        chunk_prod = []
+        for j in range(cfg.num_perm_chunks):
+            blk = ratios[j * cs:(j + 1) * cs]
+            pr = blk[0]
+            for rrow in blk[1:]:
+                pr = gl64.np_mul(pr, rrow)
+            chunk_prod.append(pr)                        # (B, n)
+        row_prod = chunk_prod[0]
+        for cp in chunk_prod[1:]:
+            row_prod = gl64.np_mul(row_prod, cp)
+        cum = np_cumprod_mod(row_prod)                   # (B, n)
+        z = np.concatenate(
+            [np.ones((B, 1), dtype=np.uint64), cum[:, :-1]], axis=1)
+        zs_rows.append(z)
+        run = z
+        for j in range(npp):
+            run = gl64.np_mul(run, chunk_prod[j])
+            pp_rows.append(run)
+    zs_pp = np.stack(zs_rows + pp_rows, axis=1)          # (B, nc(1+npp), n)
+    zs_pp_coeffs, zs_pp_ldes = interp_and_lde(zs_pp, log_n, rate_bits)
+    zs_pp_tree = merkle.BatchedMerkleTree(
+        gl64.from_u64(zs_pp_ldes.transpose(0, 2, 1)), cap_h)
+    zs_pp_caps = [zs_pp_tree.cap_u64(b) for b in range(B)]
+    alphas_b = []
+    for b in range(B):
+        chs[b].observe_cap(zs_pp_caps[b])
+        alphas_b.append(chs[b].get_n_challenges(nc))
+    alphas = [np.array([alphas_b[b][c] for b in range(B)], dtype=np.uint64)
+              for c in range(nc)]
+
+    # 4. quotients, batched
+    num_sel = common.num_sel_cols
+    csv = pd.const_sigma_ldes                            # (S, M)
+    pi_cols = [np.array([pi_hashes[b][i] for b in range(B)],
+                        dtype=np.uint64).reshape(B, 1) for i in range(4)]
+    ldes = {
+        "selectors": [csv[i] for i in range(num_sel)],
+        "constants": [csv[num_sel + i] for i in range(cfg.num_constants)],
+        "sigmas": [csv[num_sel + cfg.num_constants + i] for i in range(R)],
+        "wires": [wire_ldes[:, i, :] for i in range(cfg.num_wires)],
+        "zs": [zs_pp_ldes[:, c, :] for c in range(nc)],
+        "pps": [zs_pp_ldes[:, nc + c * npp: nc + (c + 1) * npp, :]
+                .transpose(1, 0, 2) for c in range(nc)],
+    }
+    q_coeffs = compute_quotients(common, ldes, betas, gammas, alphas,
+                                 pi_cols)                # (B, nc*8, n)
+    q_ldes_pair = ntt.coset_lde(gl64.from_u64(q_coeffs), log_n, rate_bits)
+    q_ldes = gl64.to_u64(np.asarray(q_ldes_pair[0]),
+                         np.asarray(q_ldes_pair[1]))     # (B, nc*8, M)
+    q_tree = merkle.BatchedMerkleTree(
+        gl64.from_u64(q_ldes.transpose(0, 2, 1)), cap_h)
+    q_caps = [q_tree.cap_u64(b) for b in range(B)]
+    zetas = []
+    for b in range(B):
+        chs[b].observe_cap(q_caps[b])
+        zetas.append(chs[b].get_extension_challenge())
+
+    # 5. openings at zeta / g*zeta, batched horner
+    cs_coeffs = pd.const_sigma_coeffs                    # (S, n)
+    S = cs_coeffs.shape[0]
+    all_coeffs = np.concatenate(
+        [np.broadcast_to(cs_coeffs, (B,) + cs_coeffs.shape),
+         wire_coeffs, zs_pp_coeffs, q_coeffs], axis=1)   # (B, K, n)
+    ys_b = np_ext_horner_batch(all_coeffs, zetas)        # (B, K, 2)
+    g_n = gl64.h_primitive_root_of_unity(log_n)
+    gzetas = [gl64_ext.h_mul(z, (g_n, 0)) for z in zetas]
+    ys_next_b = np_ext_horner_batch(zs_pp_coeffs[:, :nc, :], gzetas)
+    W = cfg.num_wires
+    n_polys = S + W + nc * (1 + npp) + nc * cfg.quotient_chunks
+
+    # per-proof transcript + FRI (host-sequential; folds hit the shared
+    # jitted kernels)
+    proofs = []
+    xs = _lde_points_cached(log_n + rate_bits)
+    all_ldes_b = np.concatenate(
+        [np.broadcast_to(csv, (B,) + csv.shape), wire_ldes, zs_pp_ldes,
+         q_ldes], axis=1)                                # (B, K, M)
+    for b in range(B):
+        ch = chs[b]
+        ys = [(int(ys_b[b, i, 0]), int(ys_b[b, i, 1]))
+              for i in range(n_polys)]
+        ys_next = [(int(ys_next_b[b, c, 0]), int(ys_next_b[b, c, 1]))
+                   for c in range(nc)]
+        openings = OpeningSet(
+            constants_sigmas=ys[:S],
+            wires=ys[S:S + W],
+            zs=ys[S + W:S + W + nc],
+            pps=ys[S + W + nc:S + W + nc + nc * npp],
+            quotient=ys[S + W + nc + nc * npp:],
+            zs_next=ys_next)
+        for y in openings.flat():
+            ch.observe_ext(y)
+        fri_alpha = ch.get_extension_challenge()
+        zeta = zetas[b]
+        gzeta = gzetas[b]
+        all_ldes = all_ldes_b[b]
+        apow = (1, 0)
+        G0 = (np.zeros(M, dtype=np.uint64), np.zeros(M, dtype=np.uint64))
+        y0 = (0, 0)
+        for i in range(n_polys):
+            G0 = gl64_ext.np_ext_add(
+                G0, gl64_ext.np_ext_scale(
+                    (all_ldes[i], np.zeros_like(all_ldes[i])), apow))
+            y0 = gl64_ext.h_add(y0, gl64_ext.h_mul(apow, ys[i]))
+            apow = gl64_ext.h_mul(apow, fri_alpha)
+        inv0 = gl64_ext.np_ext_inverse(
+            gl64_ext.np_ext_sub((xs, np.zeros_like(xs)),
+                                (np.full(M, zeta[0], dtype=np.uint64),
+                                 np.full(M, zeta[1], dtype=np.uint64))))
+        num0 = gl64_ext.np_ext_sub(
+            G0, (np.full(M, y0[0], dtype=np.uint64),
+                 np.full(M, y0[1], dtype=np.uint64)))
+        F = gl64_ext.np_ext_mul(num0, inv0)
+        G1 = (np.zeros(M, dtype=np.uint64), np.zeros(M, dtype=np.uint64))
+        y1 = (0, 0)
+        for c in range(nc):
+            zlde = zs_pp_ldes[b, c, :]
+            G1 = gl64_ext.np_ext_add(
+                G1, gl64_ext.np_ext_scale((zlde, np.zeros_like(zlde)),
+                                          apow))
+            y1 = gl64_ext.h_add(y1, gl64_ext.h_mul(apow, ys_next[c]))
+            apow = gl64_ext.h_mul(apow, fri_alpha)
+        inv1 = gl64_ext.np_ext_inverse(
+            gl64_ext.np_ext_sub((xs, np.zeros_like(xs)),
+                                (np.full(M, gzeta[0], dtype=np.uint64),
+                                 np.full(M, gzeta[1], dtype=np.uint64))))
+        num1 = gl64_ext.np_ext_sub(
+            G1, (np.full(M, y1[0], dtype=np.uint64),
+                 np.full(M, y1[1], dtype=np.uint64)))
+        F = gl64_ext.np_ext_add(F, gl64_ext.np_ext_mul(num1, inv1))
+
+        codeword = (gl64.from_u64(F[0]), gl64.from_u64(F[1]))
+        fri_proof = fri.fri_prove(codeword, log_n + rate_bits,
+                                  gl64.MULTIPLICATIVE_GROUP_GENERATOR,
+                                  cfg.fri, ch)
+
+        trees = [pd.tree, wires_tree, zs_pp_tree, q_tree]
+        mats = [csv, wire_ldes[b], zs_pp_ldes[b], q_ldes[b]]
+        initial = []
+        for idx in fri_proof.query_indices:
+            values, paths = [], []
+            for tr, mat in zip(trees, mats):
+                values.append([int(v) for v in mat[:, idx]])
+                if isinstance(tr, merkle.BatchedMerkleTree):
+                    paths.append(tr.prove(b, idx))
+                else:
+                    paths.append(tr.prove(idx))
+            initial.append(InitialTreeOpening(values=values, paths=paths))
+
+        proofs.append(Proof(
+            public_inputs=[int(v) for v in pis_list[b]],
+            wires_cap=wire_caps[b], zs_pp_cap=zs_pp_caps[b],
+            quotient_cap=q_caps[b], openings=openings,
+            fri_proof=fri_proof, initial_openings=initial))
+    return proofs

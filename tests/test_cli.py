@@ -10,7 +10,8 @@ from city_rollup_tpu import cli
 
 def test_cli_help_all_subcommands(capsys):
     for sub in ("full-block", "qbench", "inspect-dump",
-                "print-circuit-info", "store-server", "l2-worker"):
+                "print-circuit-info", "store-server", "l2-worker",
+                "api-server", "rpc-server", "user-prover"):
         with pytest.raises(SystemExit) as e:
             cli.main([sub, "--help"])
         assert e.value.code == 0
@@ -38,3 +39,24 @@ def test_cli_print_circuit_info_fast(capsys):
 
     rc = cli.main(["print-circuit-info", "UNKNOWN", "--fast"])
     assert rc == 1
+
+
+def test_user_cli_wallet_roundtrip(tmp_path):
+    import json
+    from city_rollup_tpu import user_cli
+    w = str(tmp_path / "wallet.json")
+    assert user_cli.main(["--wallet", w, "random-wallet"]) == 0
+    assert user_cli.main(["--wallet", w, "get-public-key"]) == 0
+    data = json.load(open(w))
+    assert len(data["zk_keys"]) == 1 and len(data["zk_keys"][0]) == 4
+
+
+def test_user_cli_help():
+    import pytest
+    from city_rollup_tpu import user_cli
+    for sub in ("random-wallet", "sign-hash", "register-user",
+                "token-transfer", "add-withdrawal", "claim-deposit",
+                "produce-block"):
+        with pytest.raises(SystemExit) as e:
+            user_cli.main([sub, "--help"])
+        assert e.value.code == 0

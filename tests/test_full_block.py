@@ -7,9 +7,12 @@ memory KV store + memory proof store + standard-prover worker loop, no
 Redis/Dogecoin.
 """
 
+import pytest
+
 from city_rollup_tpu.core import poseidon_host
 from city_rollup_tpu.rollup import orchestrator as orch_mod
-from city_rollup_tpu.rollup.circuits import CircuitToolbox, FAST_TEST_PARAMS
+from city_rollup_tpu.rollup.circuits import (CircuitToolbox,
+                                             FAST_TEST_PARAMS, encode_proof)
 from city_rollup_tpu.rollup.city_store import CityStore
 from city_rollup_tpu.rollup.job_id import JobID, JobTopic
 from city_rollup_tpu.rollup.proof_store import MemoryProofStore
@@ -75,3 +78,66 @@ def test_full_block_in_memory():
     while worker.process_next_job():
         pass
     assert orch.finalize(planned2, toolbox)
+
+
+@pytest.mark.slow
+def test_full_block_with_signatures():
+    """VERDICT r3 item 2: the proven pipeline with user authorization ON —
+    transfer and add_withdrawal ops recursively verify a real zk-signature
+    wrapper proof binding (the sender's stored pk, the action hash); a
+    proof signed under the WRONG key cannot pass the op circuit."""
+    from city_rollup_tpu.rollup.wallet import CityMemoryWallet
+
+    toolbox = CircuitToolbox(FAST_TEST_PARAMS, with_signatures=True)
+    p = toolbox.params                      # carries the sig wrapper data
+    city = CityStore(user_tree_height=p.user_tree_height,
+                     deposit_tree_height=p.deposit_tree_height,
+                     withdrawal_tree_height=p.withdrawal_tree_height)
+    store = MemoryProofStore()
+    hub = QueueHub()
+    orch = orch_mod.Orchestrator(city, store, hub, params=p)
+
+    wallet = CityMemoryWallet.new_fast_setup(wrapper=toolbox.zk_wrapper)
+    pk0 = wallet.zk.create_zk_private_key()
+    wfee = p.withdrawal_fee
+    city.register_user(0, 0, pk0)
+    city.register_user(0, 1, (2, 2, 2, 2))
+    city.increment_user_balance(0, 0, 1_000 + 60 + wfee)
+
+    # sign the transfer: nonce 0 -> action binds new_nonce 1
+    action_t = orch_mod.transfer_action_hash(p, 0, 1, 1, 250)
+    sig_t = wallet.zk.sign(pk0, action_t)
+    # sign the withdrawal: nonce bumps again (1 -> 2)
+    addr = (7, 8, 9)
+    action_w = orch_mod.withdrawal_action_hash(p, 0, 2, addr, 60)
+    sig_w = wallet.zk.sign(pk0, action_w)
+
+    reqs = orch_mod.BlockRequests(
+        token_transfers=[orch_mod.TokenTransfer(
+            0, 1, 250, signature_proof=encode_proof(sig_t).hex())],
+        add_withdrawals=[orch_mod.AddWithdrawal(
+            0, 0, addr, 60, signature_proof=encode_proof(sig_w).hex())],
+    )
+    planned = orch.plan_block(1, reqs)
+    orch.enqueue(planned)
+    worker = Worker(toolbox, store, hub)
+    processed = 0
+    while worker.process_next_job():
+        processed += 1
+        assert processed < 100, "DAG did not converge"
+    assert processed == planned.num_jobs
+    assert orch.finalize(planned, toolbox)
+
+    # negative: a signature under a DIFFERENT key must be rejected by the
+    # transfer op circuit (pk binding to the sender's stored leaf)
+    intruder = wallet.zk.create_zk_private_key()
+    action_bad = orch_mod.transfer_action_hash(p, 1, 1, 0, 10)
+    sig_bad = wallet.zk.sign(intruder, action_bad)   # user 1's leaf != pk
+    reqs2 = orch_mod.BlockRequests(
+        token_transfers=[orch_mod.TokenTransfer(
+            1, 0, 10, signature_proof=encode_proof(sig_bad).hex())])
+    planned2 = orch.plan_block(2, reqs2)
+    orch.enqueue(planned2)
+    with pytest.raises((ValueError, AssertionError)):
+        while worker.process_next_job():
+            pass

@@ -71,7 +71,7 @@ def test_full_block_with_sighash_chain():
     city.register_user(0, 0, (1, 1, 1, 1))
     city.increment_user_balance(0, 0, 100_000 + wfee)
     old_root = city.get_city_root(0)
-    old_bytes = QHashOut(tuple(old_root)).to_bytes()
+    old_bytes = QHashOut(tuple(old_root)).to_le_bytes()
     cur_script = bytes([btc.OP_PUSHBYTES_32]) + old_bytes + TEST_BODY
 
     prev_tx = orch_mod.make_genesis_block_tx(
@@ -115,7 +115,7 @@ def test_full_block_with_sighash_chain():
 
     # the final-GL proofs bind (felt248 of the city roots, the sighash)
     new_root = city.get_city_root(1)
-    new_bytes = QHashOut(tuple(new_root)).to_bytes()
+    new_bytes = QHashOut(tuple(new_root)).to_le_bytes()
     for i, fin in enumerate(planned.sighash_final_jobs):
         raw = store.get_proof(fin.output_proof_id())
         assert raw is not None
@@ -126,7 +126,8 @@ def test_full_block_with_sighash_chain():
                                      TEST_CFG.sighash_type)
         assert pis[4:8] == feltenc.hash256_to_felt252(expect_sighash)
         from city_rollup_tpu.snark import verifier as snark_verifier
-        snark_verifier.verify(sht.final_gl.data, proof)
+        snark_verifier.verify(proof, sht.final_gl.data.common,
+                              sht.final_gl.data.verifier)
 
     assert orch.finalize(planned, toolbox)
 

@@ -9,6 +9,31 @@ from city_rollup_tpu.rollup import (city_store, job_id, kvq, merkle_model,
 
 # -- kvq ----------------------------------------------------------------------
 
+def test_kvq_sqlite_backend(tmp_path):
+    """Persistent KVQ (redb-equivalent): same get_leq semantics, state
+    survives reopening the database file (round-4, SURVEY.md §2.1 row 9)."""
+    path = str(tmp_path / "kv.sqlite")
+    s = kvq.KVQSqliteStore(path)
+    s.set(b"aa\x00\x01", b"v1")
+    s.set(b"aa\x00\x05", b"v5")
+    s.set(b"ab\x00\x03", b"w3")
+    assert s.get(b"aa\x00\x05") == b"v5"
+    assert s.get_leq(b"aa\x00\x04", 2) == b"v1"
+    assert s.get_leq(b"aa\x00\x09", 2) == b"v5"
+    assert s.get_leq(b"ab\x00\x02", 2) is None
+    assert s.delete(b"aa\x00\x01") and not s.delete(b"aa\x00\x01")
+    s.close()
+    # durability: reopen and read back
+    s2 = kvq.KVQSqliteStore(path)
+    assert s2.get_leq(b"aa\x00\x09", 2) == b"v5"
+    # the versioned Merkle tree runs unchanged over the sqlite backend
+    t = merkle_model.VersionedMerkleTree(s2, 1, height=4)
+    t.set_leaf(3, (7, 7, 7, 7), checkpoint=1)
+    pr = t.prove(3, 1)
+    assert pr.verify()
+    s2.close()
+
+
 def test_kvq_get_leq_versioning():
     s = kvq.KVQMemoryStore()
     key = lambda node, cp: bytes([node]) + cp.to_bytes(8, "big")
