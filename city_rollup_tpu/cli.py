@@ -160,11 +160,16 @@ def cmd_l2_worker(args):
     print(json.dumps({"worker": "ready", "mode": args.mode}), flush=True)
     idle_since = time.monotonic()
     while True:
-        if worker.process_next_job():
+        if args.batch > 1:
+            done = worker.process_ready_batch(max_batch=args.batch)
+        else:
+            done = 1 if worker.process_next_job() else 0
+        if done:
             idle_since = time.monotonic()
-            print(json.dumps({"processed": worker.benchmarks[-1].job_id,
-                              "ms": round(worker.benchmarks[-1].duration_ms,
-                                          1)}), flush=True)
+            for bm in worker.benchmarks[-done:]:
+                print(json.dumps({"processed": bm.job_id,
+                                  "ms": round(bm.duration_ms, 1)}),
+                      flush=True)
         else:
             if args.max_idle and \
                     time.monotonic() - idle_since > args.max_idle:
@@ -255,6 +260,9 @@ def main(argv=None):
     lw.add_argument("--max-idle", type=float, default=0.0,
                     help="exit after this many idle seconds (0 = never)")
     lw.add_argument("--poll-interval", type=float, default=0.25)
+    lw.add_argument("--batch", type=int, default=1,
+                    help="group same-circuit ready jobs into one batched "
+                         "device call (prove_batch)")
     lw.set_defaults(fn=cmd_l2_worker)
 
     asrv = sub.add_parser("api-server", help="read-only query API")

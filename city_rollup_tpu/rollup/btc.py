@@ -231,6 +231,27 @@ def encode_block_script(state_hash: bytes, g16_vd_chunks: list[bytes],
     return script
 
 
+def push_data(data: bytes) -> bytes:
+    """Minimal script push encoding for arbitrary data."""
+    n = len(data)
+    if n < 0x4c:
+        return bytes([n]) + data
+    if n <= 0xFF:
+        return bytes([OP_PUSHDATA1, n]) + data
+    assert n <= 0xFFFF
+    return bytes([0x4d]) + n.to_bytes(2, "little") + data
+
+
+def encode_binary_witness_script_for_p2sh(base_script: bytes,
+                                          inputs: list[bytes]) -> bytes:
+    """The P2SH spend script: push every witness item (the four 48-byte
+    Groth16 proof elements + verifier-data chunks), then the redeem script
+    itself (block_template/data.rs encode_binary_witness_script_for_p2sh
+    twin — what CityGroth16ProofData.encode_witness_script assembles)."""
+    out = b"".join(push_data(item) for item in inputs)
+    return out + push_data(base_script)
+
+
 # ---------------------------------------------------------------------------
 # Spend-shape configs + permutations (the whitelist universe)
 # ---------------------------------------------------------------------------

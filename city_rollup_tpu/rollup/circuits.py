@@ -162,23 +162,34 @@ class CircuitToolbox:
         self.family_a, self.family_b, self.block
 
     # -- proving -----------------------------------------------------------------
-    def prove_op(self, name: str, witness: dict) -> snark_prover.Proof:
+    # Each op/dummy/agg job has a `prepare_*` form returning (CircuitData,
+    # PartialWitness) so the worker can group same-circuit jobs and prove
+    # them as ONE batched device call (snark_prover.prove_batch — SURVEY.md
+    # §2.11 "levels batched").
+
+    def prepare_op(self, name: str, witness: dict):
         fam = self._family_for(name)
         built = fam.leaves[name]
         pw = built.data._builder.partial_witness()
         wit = dict(witness)
         wit.setdefault("allowed_root", self.allowed_root(name))
         built.setter(pw, wit)
-        return snark_prover.prove(built.data, pw)
+        return built.data, pw
 
-    def prove_dummy(self, name: str, state_root) -> snark_prover.Proof:
+    def prove_op(self, name: str, witness: dict) -> snark_prover.Proof:
+        return snark_prover.prove(*self.prepare_op(name, witness))
+
+    def prepare_dummy(self, name: str, state_root):
         fam = self._family_for(name)
         pw = fam.dummy.data._builder.partial_witness()
         fam.dummy.setter(pw, {"state_root": state_root,
                               "allowed_root": self.allowed_root(name)})
-        return snark_prover.prove(fam.dummy.data, pw)
+        return fam.dummy.data, pw
 
-    def prove_agg(self, name: str, children: list) -> snark_prover.Proof:
+    def prove_dummy(self, name: str, state_root) -> snark_prover.Proof:
+        return snark_prover.prove(*self.prepare_dummy(name, state_root))
+
+    def prepare_agg(self, name: str, children: list):
         """children: two (proof, kind, (start, end)) with kind in
         {'leaf','agg','dummy'}."""
         fam = self._family_for(name)
@@ -190,7 +201,10 @@ class CircuitToolbox:
             pw, fam.agg.targets, self.family_fps(name).as_dict(),
             [(proof, vd_by_kind[kind], kind, span)
              for proof, kind, span in children])
-        return snark_prover.prove(fam.agg.data, pw)
+        return fam.agg.data, pw
+
+    def prove_agg(self, name: str, children: list) -> snark_prover.Proof:
+        return snark_prover.prove(*self.prepare_agg(name, children))
 
     def prove_block_part1(self, proofs: dict, kinds: dict,
                           u_roots: list, d_roots: list) -> snark_prover.Proof:

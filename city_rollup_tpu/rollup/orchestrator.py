@@ -167,6 +167,7 @@ class PlannedBlock:
     deposit_events: list = dataclasses.field(default_factory=list)
     # sighash chain (set when planned with an L1 context)
     block_tx: object = None
+    covenant_script: bytes = b""
     hints: list = dataclasses.field(default_factory=list)
     sighash_final_jobs: list = dataclasses.field(default_factory=list)
     groth16_jobs: list = dataclasses.field(default_factory=list)
@@ -527,6 +528,7 @@ class Orchestrator:
         block_tx = btc.BTCTransaction(version=cfg.version, inputs=inputs,
                                       outputs=outputs, locktime=cfg.locktime)
         planned.block_tx = block_tx
+        planned.covenant_script = cur_script
 
         terminals: list[JobID] = []
         for i in range(len(inputs)):
@@ -584,6 +586,39 @@ class Orchestrator:
     def enqueue(self, planned: PlannedBlock):
         for job in planned.leaf_jobs:
             self.hub.dispatch(Q_JOB, job.to_bytes())
+
+    # -- L1 transaction assembly (step_2, actors/simple.rs:348-389) -----------
+    def assemble_l1_transaction(self, planned: PlannedBlock,
+                                verifier_data: bytes = b"",
+                                link=None) -> btc.BTCTransaction:
+        """Read the per-input CityGroth16ProofData from the proof store,
+        build the P2SH witness scripts (proof pushes + verifier data + the
+        covenant redeem script), fill the block transaction's input
+        scripts, and broadcast via the L1 link if given."""
+        import json as _json
+        assert planned.block_tx is not None, "block planned without L1 ctx"
+        assert planned.groth16_jobs, "block planned without groth16 wraps"
+        new_inputs = []
+        for i, inp in enumerate(planned.block_tx.inputs):
+            raw = self.store.get_bytes(
+                planned.groth16_jobs[i].output_proof_id())
+            assert raw is not None, f"missing groth16 wrap for input {i}"
+            pd = _json.loads(raw.decode())["proof_data"]
+            witness = btc.encode_binary_witness_script_for_p2sh(
+                planned.covenant_script,
+                [bytes.fromhex(pd["pi_a"]), bytes.fromhex(pd["pi_b_a0"]),
+                 bytes.fromhex(pd["pi_b_a1"]), bytes.fromhex(pd["pi_c"]),
+                 verifier_data])
+            new_inputs.append(btc.BTCTransactionInput(
+                hash=inp.hash, index=inp.index, script=witness,
+                sequence=inp.sequence))
+        final_tx = btc.BTCTransaction(
+            version=planned.block_tx.version, inputs=new_inputs,
+            outputs=planned.block_tx.outputs,
+            locktime=planned.block_tx.locktime)
+        if link is not None:
+            link.send_transaction(final_tx)
+        return final_tx
 
     # -- finalize ------------------------------------------------------------------
     def finalize(self, planned: PlannedBlock, toolbox) -> bool:

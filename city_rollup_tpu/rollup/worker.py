@@ -66,6 +66,101 @@ class Worker:
         self.hub.ack(Q_JOB, mid)
         return True
 
+    def process_ready_batch(self, max_batch: int = 8) -> int:
+        """Batched drain (SURVEY.md §2.11 "levels batched"): pop up to
+        `max_batch` ready jobs, group the op/dummy/agg jobs that share ONE
+        circuit, prove each group with a single batched device call
+        (snark_prover.prove_batch), and fall back to per-job proving for
+        everything else. Returns the number of jobs processed."""
+        from . import circuits as _c
+        from .job_id import CircuitType
+        import time as _time
+
+        popped: list[tuple[int, JobID]] = []
+        while len(popped) < max_batch:
+            got = self.hub.receive(Q_JOB)
+            if got is None:
+                break
+            mid, msg = got
+            job = JobID.from_bytes(msg)
+            if not self.mode.accepts(job):
+                self.hub.ack(Q_JOB, mid)
+                self.hub.dispatch(Q_JOB, msg)
+                continue
+            popped.append((mid, job))
+        if not popped:
+            return 0
+
+        # group batchable jobs by their circuit object
+        groups: dict[int, list] = {}
+        singles: list[tuple[int, JobID]] = []
+        prepared: dict[bytes, tuple] = {}
+        for mid, job in popped:
+            prep = self._try_prepare(job)
+            if prep is None:
+                singles.append((mid, job))
+            else:
+                data, pw = prep
+                prepared[job.to_bytes()] = prep
+                groups.setdefault(id(data), []).append((mid, job, data, pw))
+
+        from ..snark import prover as snark_prover
+        done = 0
+        for members in groups.values():
+            t0 = _time.perf_counter()
+            proofs = snark_prover.prove_batch(
+                members[0][2], [pw for (_, _, _, pw) in members])
+            per_ms = (_time.perf_counter() - t0) * 1e3 / len(members)
+            for (mid, job, _, _), proof in zip(members, proofs):
+                self.store.set_bytes(job.output_proof_id(),
+                                     encode_proof(proof))
+                self._release(job)
+                self.benchmarks.append(JobBenchmark(job_id=job.hex(),
+                                                    duration_ms=per_ms))
+                self.hub.ack(Q_JOB, mid)
+                done += 1
+        for mid, job in singles:
+            t0 = _time.perf_counter()
+            self.process_job(job)
+            self.benchmarks.append(JobBenchmark(
+                job_id=job.hex(),
+                duration_ms=(_time.perf_counter() - t0) * 1e3))
+            self.hub.ack(Q_JOB, mid)
+            done += 1
+        return done
+
+    def _try_prepare(self, job: JobID):
+        """(data, pw) for batchable circuit types; None for the rest."""
+        from .circuits import FAMILY_BY_AGG, FAMILY_BY_DUMMY, OP_NAME_BY_TYPE
+        ct = job.circuit_type
+        if ct not in OP_NAME_BY_TYPE and ct not in FAMILY_BY_DUMMY and \
+                ct not in FAMILY_BY_AGG:
+            return None
+        raw = self.store.get_bytes(job.input_witness_id())
+        assert raw is not None, f"missing witness for {job}"
+        w = decode_witness(raw)
+        if ct in OP_NAME_BY_TYPE:
+            for key in ("signature_proof", "l1_signature_proof"):
+                if key in w:
+                    w[key] = decode_proof(bytes.fromhex(w[key]))
+            return self.toolbox.prepare_op(OP_NAME_BY_TYPE[ct], w)
+        if ct in FAMILY_BY_DUMMY:
+            return self.toolbox.prepare_dummy(FAMILY_BY_DUMMY[ct],
+                                              tuple(w["state_root"]))
+        children = [
+            (self._child_proof(ch), kind,
+             (tuple(span["start"]), tuple(span["end"])))
+            for ch, kind, span in zip(w["children"], w["child_kinds"],
+                                      w["child_spans"])]
+        return self.toolbox.prepare_agg(FAMILY_BY_AGG[ct], children)
+
+    def _release(self, job: JobID):
+        for nj in self.store.on_job_complete(job):
+            if nj.topic == JobTopic.NOTIFY_ORCHESTRATOR_COMPLETE:
+                self.hub.dispatch(Q_NOTIFICATIONS, nj.to_bytes())
+            else:
+                self.hub.dispatch(Q_JOB, nj.to_bytes())
+
     def process_job(self, job: JobID):
         from .job_id import CircuitType
         if job.circuit_type == CircuitType.WRAP_FINAL_SIGHASH_PROOF_BLS12381:
@@ -85,11 +180,7 @@ class Worker:
         else:
             proof = self.prove_job(job)
             self.store.set_bytes(job.output_proof_id(), encode_proof(proof))
-        for nj in self.store.on_job_complete(job):
-            if nj.topic == JobTopic.NOTIFY_ORCHESTRATOR_COMPLETE:
-                self.hub.dispatch(Q_NOTIFICATIONS, nj.to_bytes())
-            else:
-                self.hub.dispatch(Q_JOB, nj.to_bytes())
+        self._release(job)
 
     # -- proving ------------------------------------------------------------------
     def _child_proof(self, job_hex: str):

@@ -141,3 +141,36 @@ def test_full_block_with_signatures():
     with pytest.raises((ValueError, AssertionError)):
         while worker.process_next_job():
             pass
+
+
+@pytest.mark.slow
+def test_full_block_batched_worker():
+    """The batched drain path: same block, but the worker groups
+    same-circuit ready jobs and proves them with one batched device call
+    per group (prove_batch DAG integration)."""
+    p = FAST_TEST_PARAMS
+    city = CityStore(user_tree_height=p.user_tree_height,
+                     deposit_tree_height=p.deposit_tree_height,
+                     withdrawal_tree_height=p.withdrawal_tree_height)
+    store = MemoryProofStore()
+    hub = QueueHub()
+    toolbox = CircuitToolbox(p)
+    orch = orch_mod.Orchestrator(city, store, hub, params=p)
+    city.register_user(0, 0, (1, 1, 1, 1))
+    city.register_user(0, 1, (2, 2, 2, 2))
+    city.increment_user_balance(0, 0, 1000)
+    reqs = orch_mod.BlockRequests(
+        token_transfers=[orch_mod.TokenTransfer(0, 1, v)
+                         for v in (100, 50, 25, 10)])
+    planned = orch.plan_block(1, reqs)
+    orch.enqueue(planned)
+    worker = Worker(toolbox, store, hub)
+    processed = 0
+    while True:
+        n = worker.process_ready_batch(max_batch=8)
+        if n == 0:
+            break
+        processed += n
+        assert processed <= planned.num_jobs
+    assert processed == planned.num_jobs
+    assert orch.finalize(planned, toolbox)
