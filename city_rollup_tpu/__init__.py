@@ -10,13 +10,18 @@ __version__ = "0.1.0"
 
 # Persistent XLA compilation cache: the prover compiles one executable per
 # (transform, shape) pair; caching them on disk makes every process after
-# the first (workers, tests, benches) start warm. Opt out with
+# the first (workers, benches) start warm. DEVICE backends only: XLA:CPU
+# persists AOT objects whose embedded machine-feature strings can mismatch
+# the executing host (cpu_aot_loader errors / SIGILL risk / reload stalls),
+# so the CPU backend always compiles fresh. Opt out entirely with
 # CITY_ROLLUP_XLA_CACHE=off.
 import os as _os
 
+_platforms = _os.environ.get("JAX_PLATFORMS", "") or "default"
 _cache = _os.environ.get(
     "CITY_ROLLUP_XLA_CACHE",
-    _os.path.expanduser("~/.cache/city_rollup_tpu/xla"))
+    _os.path.expanduser("~/.cache/city_rollup_tpu/xla-" +
+                        _platforms.replace(",", "-")))
 if _cache != "off":
     try:
         import jax as _jax

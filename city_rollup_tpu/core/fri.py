@@ -68,13 +68,16 @@ class FriProof:
 # ---------------------------------------------------------------------------
 
 def _ext_codeword_to_leaves(codeword):
-    """Ext codeword ((a0),(a1)) of length m -> (m/2, 4) leaf felts pairing
-    index j with j + m/2 (the radix-2 fold sibling)."""
+    """Ext codeword ((a0),(a1)) of length m -> (..., m/2, 4) leaf felts
+    pairing index j with j + m/2 (the radix-2 fold sibling). Leading batch
+    dims ride through."""
     (a0lo, a0hi), (a1lo, a1hi) = codeword
-    m = a0lo.shape[0]
+    m = a0lo.shape[-1]
     h = m // 2
-    lo = jnp.stack([a0lo[:h], a1lo[:h], a0lo[h:], a1lo[h:]], axis=-1)
-    hi = jnp.stack([a0hi[:h], a1hi[:h], a0hi[h:], a1hi[h:]], axis=-1)
+    lo = jnp.stack([a0lo[..., :h], a1lo[..., :h],
+                    a0lo[..., h:], a1lo[..., h:]], axis=-1)
+    hi = jnp.stack([a0hi[..., :h], a1hi[..., :h],
+                    a0hi[..., h:], a1hi[..., h:]], axis=-1)
     return (lo, hi)
 
 
@@ -100,12 +103,24 @@ def _fold_codeword(codeword, beta, log_m: int, shift: int):
     return _fold_codeword_jit(codeword, beta_dev, log_m, shift)
 
 
+def _bc_scalar(x, like):
+    """Broadcast a per-batch scalar ((,) or (B,)) against (..., h) arrays."""
+    if x.ndim:
+        x = x[..., None]
+    return jnp.broadcast_to(x, like.shape)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _fold_codeword_jit(codeword, beta_dev, log_m: int, shift: int):
+    """Batch-polymorphic radix-2 fold: codeword arrays (..., m), beta_dev
+    (lo, hi) of shape (..., 2) — per-batch challenges fold B codewords in
+    one kernel (the batched-proving FRI path)."""
     (a0, a1) = codeword
     h = 1 << (log_m - 1)
-    lo_half = lambda c: ((c[0][0][:h], c[0][1][:h]), (c[1][0][:h], c[1][1][:h]))
-    hi_half = lambda c: ((c[0][0][h:], c[0][1][h:]), (c[1][0][h:], c[1][1][h:]))
+    lo_half = lambda c: ((c[0][0][..., :h], c[0][1][..., :h]),
+                         (c[1][0][..., :h], c[1][1][..., :h]))
+    hi_half = lambda c: ((c[0][0][..., h:], c[0][1][..., h:]),
+                         (c[1][0][..., h:], c[1][1][..., h:]))
     ve = lo_half((a0, a1))      # v(x)
     vo = hi_half((a0, a1))      # v(-x)
     s = gl64_ext.add(ve, vo)                        # v(x) + v(-x)
@@ -120,10 +135,10 @@ def _fold_codeword_jit(codeword, beta_dev, log_m: int, shift: int):
               jnp.broadcast_to(invx[1], d[0][1].shape))
     odd_part = gl64_ext.mul_base(d, invx_b)         # (v-v-)/(2x)
     beta_lo, beta_hi = beta_dev
-    beta_b = ((jnp.broadcast_to(beta_lo[0], d[0][0].shape),
-               jnp.broadcast_to(beta_hi[0], d[0][1].shape)),
-              (jnp.broadcast_to(beta_lo[1], d[0][0].shape),
-               jnp.broadcast_to(beta_hi[1], d[0][1].shape)))
+    beta_b = ((_bc_scalar(beta_lo[..., 0], d[0][0]),
+               _bc_scalar(beta_hi[..., 0], d[0][1])),
+              (_bc_scalar(beta_lo[..., 1], d[0][0]),
+               _bc_scalar(beta_hi[..., 1], d[0][1])))
     return gl64_ext.add(even_part, gl64_ext.mul(beta_b, odd_part))
 
 
@@ -230,6 +245,85 @@ def fri_prove(codeword, log_m: int, shift: int, config: FriConfig,
     return FriProof(commit_caps=caps, final_poly=final_poly,
                     pow_witness=pow_witness, query_rounds=query_rounds,
                     query_indices=query_indices)
+
+
+def fri_prove_batch(codewords, log_m: int, shift: int, config: FriConfig,
+                    challengers: list) -> list[FriProof]:
+    """Batched FRI: B codewords (arrays shaped (B, 2^log_m)) with B
+    independent transcripts. Every fold and every layer's Merkle build is
+    ONE device call for the whole batch; challenges, grinding and query
+    sampling stay per-proof (identical proofs to fri_prove one at a time)."""
+    B = len(challengers)
+    log_degree = log_m - config.rate_bits
+    n_folds = config.num_folds(log_degree)
+
+    layers = []          # (cw_np (B,m) ext pair, BatchedMerkleTree, lm, s)
+    cur, cur_log, cur_shift = codewords, log_m, shift % gl64.P
+    caps_per_proof = [[] for _ in range(B)]
+    for _ in range(n_folds):
+        leaves = _ext_codeword_to_leaves(cur)            # (B, h, 4)
+        tree = merkle.BatchedMerkleTree(
+            leaves, cap_height=min(config.cap_height, cur_log - 1))
+        cw_np = (gl64.to_u64(np.asarray(cur[0][0]), np.asarray(cur[0][1])),
+                 gl64.to_u64(np.asarray(cur[1][0]), np.asarray(cur[1][1])))
+        layers.append((cw_np, tree, cur_log, cur_shift))
+        betas = np.empty((B, 2), dtype=np.uint64)
+        for b in range(B):
+            cap = tree.cap_u64(b)
+            caps_per_proof[b].append(cap)
+            challengers[b].observe_cap(cap)
+            betas[b] = challengers[b].get_extension_challenge()
+        beta_dev = (jnp.asarray(betas & np.uint64(0xFFFFFFFF),
+                                dtype=jnp.uint32),
+                    jnp.asarray(betas >> np.uint64(32), dtype=jnp.uint32))
+        cur = _fold_codeword_jit(cur, beta_dev, cur_log, cur_shift)
+        cur_shift = (cur_shift * cur_shift) % gl64.P
+        cur_log -= 1
+
+    # final polynomials (batched intt), then per-proof transcript tails
+    fin_a0 = ntt.coset_intt(cur[0], cur_log, shift=cur_shift)
+    fin_a1 = ntt.coset_intt(cur[1], cur_log, shift=cur_shift)
+    n_coeffs = 1 << max(cur_log - config.rate_bits, 0)
+    c0 = gl64.to_u64(np.asarray(fin_a0[0]), np.asarray(fin_a0[1]))
+    c1 = gl64.to_u64(np.asarray(fin_a1[0]), np.asarray(fin_a1[1]))
+    assert not c0[:, n_coeffs:].any() and not c1[:, n_coeffs:].any(), \
+        "a codeword is not low-degree"
+
+    proofs = []
+    m0 = 1 << log_m
+    for b in range(B):
+        ch = challengers[b]
+        final_poly = [(int(c0[b, i]), int(c1[b, i]))
+                      for i in range(n_coeffs)]
+        for c in final_poly:
+            ch.observe_ext(c)
+        pow_witness = grind(ch, config.proof_of_work_bits)
+        ch.observe_element(pow_witness)
+        pow_response = ch.get_challenge()
+        assert pow_response < (1 << (64 - config.proof_of_work_bits))
+
+        query_rounds = []
+        query_indices = []
+        for _ in range(config.num_query_rounds):
+            idx = ch.get_challenge() % m0
+            query_indices.append(idx)
+            round_layers = []
+            i = idx
+            for (cw, tree, lm, _s) in layers:
+                h = 1 << (lm - 1)
+                j = i % h
+                round_layers.append(FriQueryLayer(
+                    coset=[(int(cw[0][b, j]), int(cw[1][b, j])),
+                           (int(cw[0][b, j + h]), int(cw[1][b, j + h]))],
+                    merkle_path=tree.prove(b, j)))
+                i = j
+            query_rounds.append(round_layers)
+        proofs.append(FriProof(commit_caps=caps_per_proof[b],
+                               final_poly=final_poly,
+                               pow_witness=pow_witness,
+                               query_rounds=query_rounds,
+                               query_indices=query_indices))
+    return proofs
 
 
 # ---------------------------------------------------------------------------

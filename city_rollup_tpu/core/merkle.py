@@ -123,6 +123,22 @@ class MerkleTree:
         return siblings
 
 
+@functools.lru_cache(maxsize=16)
+def _cpu_level_step_batched(bsz: int, n: int):
+    """Batched twin of _cpu_level_step: (B, n, 4) digests -> (B, n, 4)
+    where the first n//2 rows per batch are the parents."""
+
+    @jax.jit
+    def step(lo, hi):
+        left = (lo[:, 0::2, :], hi[:, 0::2, :])
+        right = (lo[:, 1::2, :], hi[:, 1::2, :])
+        plo, phi = poseidon.two_to_one(left, right)
+        return (jnp.concatenate([plo, plo], axis=1),
+                jnp.concatenate([phi, phi], axis=1))
+
+    return step
+
+
 class BatchedMerkleTree:
     """B trees built together: leaf data (B, N, k) -> per-level digests
     (B, n, 4), each level ONE device call for the whole batch — the
@@ -140,12 +156,24 @@ class BatchedMerkleTree:
         self.cap_height = cap_height
         levels = [digests]
         cur = digests
-        while cur[0].shape[1] > (1 << cap_height):
+        if jax.default_backend() == "cpu":
+            # same fixed-shape trick as MerkleTree: one compiled step per
+            # (batch, width) instead of one per LEVEL shape — compile time
+            # dominates the CPU (test) backend
             lo, hi = cur
-            left = (lo[:, 0::2, :], hi[:, 0::2, :])
-            right = (lo[:, 1::2, :], hi[:, 1::2, :])
-            cur = poseidon.two_to_one(left, right)
-            levels.append(cur)
+            m = n
+            step = _cpu_level_step_batched(bsz, n)
+            while m > (1 << cap_height):
+                lo, hi = step(lo, hi)
+                m >>= 1
+                levels.append((lo[:, :m, :], hi[:, :m, :]))
+        else:
+            while cur[0].shape[1] > (1 << cap_height):
+                lo, hi = cur
+                left = (lo[:, 0::2, :], hi[:, 0::2, :])
+                right = (lo[:, 1::2, :], hi[:, 1::2, :])
+                cur = poseidon.two_to_one(left, right)
+                levels.append(cur)
         self.levels = levels
 
     @property

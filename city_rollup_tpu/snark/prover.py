@@ -590,13 +590,15 @@ def prove_batch(data: CircuitData, pws: list[PartialWitness]) -> list[Proof]:
     W = cfg.num_wires
     n_polys = S + W + nc * (1 + npp) + nc * cfg.quotient_chunks
 
-    # per-proof transcript + FRI (host-sequential; folds hit the shared
-    # jitted kernels)
-    proofs = []
+    # per-proof transcripts + batched reduced-codeword build, then ONE
+    # batched FRI (folds + layer trees shared across the batch)
     xs = _lde_points_cached(log_n + rate_bits)
     all_ldes_b = np.concatenate(
         [np.broadcast_to(csv, (B,) + csv.shape), wire_ldes, zs_pp_ldes,
          q_ldes], axis=1)                                # (B, K, M)
+    openings_list = []
+    F_lo = np.empty((B, M), dtype=np.uint64)
+    F_hi = np.empty((B, M), dtype=np.uint64)
     for b in range(B):
         ch = chs[b]
         ys = [(int(ys_b[b, i, 0]), int(ys_b[b, i, 1]))
@@ -610,6 +612,7 @@ def prove_batch(data: CircuitData, pws: list[PartialWitness]) -> list[Proof]:
             pps=ys[S + W + nc:S + W + nc + nc * npp],
             quotient=ys[S + W + nc + nc * npp:],
             zs_next=ys_next)
+        openings_list.append(openings)
         for y in openings.flat():
             ch.observe_ext(y)
         fri_alpha = ch.get_extension_challenge()
@@ -650,12 +653,16 @@ def prove_batch(data: CircuitData, pws: list[PartialWitness]) -> list[Proof]:
             G1, (np.full(M, y1[0], dtype=np.uint64),
                  np.full(M, y1[1], dtype=np.uint64)))
         F = gl64_ext.np_ext_add(F, gl64_ext.np_ext_mul(num1, inv1))
+        F_lo[b], F_hi[b] = F[0], F[1]
 
-        codeword = (gl64.from_u64(F[0]), gl64.from_u64(F[1]))
-        fri_proof = fri.fri_prove(codeword, log_n + rate_bits,
-                                  gl64.MULTIPLICATIVE_GROUP_GENERATOR,
-                                  cfg.fri, ch)
+    codewords = (gl64.from_u64(F_lo), gl64.from_u64(F_hi))
+    fri_proofs = fri.fri_prove_batch(codewords, log_n + rate_bits,
+                                     gl64.MULTIPLICATIVE_GROUP_GENERATOR,
+                                     cfg.fri, chs)
 
+    proofs = []
+    for b in range(B):
+        fri_proof = fri_proofs[b]
         trees = [pd.tree, wires_tree, zs_pp_tree, q_tree]
         mats = [csv, wire_ldes[b], zs_pp_ldes[b], q_ldes[b]]
         initial = []
@@ -668,10 +675,9 @@ def prove_batch(data: CircuitData, pws: list[PartialWitness]) -> list[Proof]:
                 else:
                     paths.append(tr.prove(idx))
             initial.append(InitialTreeOpening(values=values, paths=paths))
-
         proofs.append(Proof(
             public_inputs=[int(v) for v in pis_list[b]],
             wires_cap=wire_caps[b], zs_pp_cap=zs_pp_caps[b],
-            quotient_cap=q_caps[b], openings=openings,
+            quotient_cap=q_caps[b], openings=openings_list[b],
             fri_proof=fri_proof, initial_openings=initial))
     return proofs

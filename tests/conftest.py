@@ -18,10 +18,11 @@ if not os.environ.get("CITY_TPU_TESTS"):
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
             " --xla_backend_optimization_level=1").strip()
+    # NO persistent compile cache on the CPU backend: XLA:CPU AOT cache
+    # entries embed compile-machine feature strings (incl. pseudo-features
+    # like prefer-no-scatter); reloading them trips cpu_aot_loader feature
+    # mismatches and can stall execution outright. Must be set BEFORE the
+    # package import, which would otherwise enable the cache.
+    os.environ["CITY_ROLLUP_XLA_CACHE"] = "off"
     import jax
     jax.config.update("jax_platforms", "cpu")
-    # NOTE: no persistent compile cache. XLA:CPU AOT cache entries embed
-    # compile-machine feature strings (incl. pseudo-features like
-    # prefer-no-scatter); reloading them trips cpu_aot_loader feature
-    # mismatches and can stall execution outright. At optimization level 1
-    # fresh compiles are fast, so caching buys little and risks hangs.
