@@ -22,6 +22,13 @@ _cache = _os.environ.get(
     "CITY_ROLLUP_XLA_CACHE",
     _os.path.expanduser("~/.cache/city_rollup_tpu/xla-" +
                         _platforms.replace(",", "-")))
+if "cpu" in _platforms.lower():
+    # XLA:CPU persists AOT objects whose embedded machine-feature strings
+    # can mismatch the executing host (cpu_aot_loader errors, stalls,
+    # SIGILL risk) — never cache for an explicit CPU backend unless the
+    # user opts in via CITY_ROLLUP_XLA_CACHE=<dir>.
+    if "CITY_ROLLUP_XLA_CACHE" not in _os.environ:
+        _cache = "off"
 if _cache != "off":
     try:
         import jax as _jax

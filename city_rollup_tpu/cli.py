@@ -71,7 +71,8 @@ def cmd_qbench(args):
         dump = BlockProofStoreDump.from_json(f.read())
     toolbox = CircuitToolbox(FAST_TEST_PARAMS if args.fast
                              else DEFAULT_PARAMS)
-    results = run_worker_qbench(dump, toolbox, num_rounds=args.rounds)
+    results = run_worker_qbench(dump, toolbox, num_rounds=args.rounds,
+                                batch=args.batch)
     print(json.dumps(results, indent=None))
     return 0
 
@@ -181,11 +182,18 @@ def cmd_l2_worker(args):
 
 
 def cmd_api_server(args):
-    """Read-only query API (city_rollup_core_api role)."""
+    """Read-only query API (city_rollup_core_api role). Point --state at
+    the orchestrator's sqlite KVQ file to serve REAL rollup state; without
+    it the server answers from an empty in-memory store (genesis-only —
+    fine for smoke tests, wrong next to a live rollup)."""
     from .rollup.city_store import CityStore
+    from .rollup.kvq import KVQSqliteStore
     from .rollup.netstore import NetProofStore
     from .services.api_server import make_api_server
-    city = CityStore()
+    if args.state:
+        city = CityStore(store=KVQSqliteStore(args.state))
+    else:
+        city = CityStore()
     proof_store = None
     if args.store:
         host, port = args.store.rsplit(":", 1)
@@ -234,6 +242,8 @@ def main(argv=None):
     qb.add_argument("input")
     qb.add_argument("--rounds", type=int, default=1)
     qb.add_argument("--fast", action="store_true")
+    qb.add_argument("--batch", type=int, default=1,
+                    help="drain via the batched-prove path")
     qb.set_defaults(fn=cmd_qbench)
 
     ins = sub.add_parser("inspect-dump")
@@ -270,6 +280,8 @@ def main(argv=None):
     asrv.add_argument("--port", type=int, default=7445)
     asrv.add_argument("--store", default=None,
                       help="netstore host:port for proof-store inspection")
+    asrv.add_argument("--state", default=None,
+                      help="shared sqlite KVQ file with the rollup state")
     asrv.set_defaults(fn=cmd_api_server)
 
     rsrv = sub.add_parser("rpc-server", help="tx-ingress JSON-RPC node")

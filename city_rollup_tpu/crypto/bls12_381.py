@@ -293,6 +293,33 @@ def _field_one(sample):
     return 1 if isinstance(sample, int) else Fp2.one()
 
 
+def g1_mul_unreduced(p: "G1", k: int) -> "G1":
+    """Scalar mul WITHOUT reducing k mod R — required for subgroup checks
+    ([r]P == O must actually compute r·P; G1.mul's k %= R would make the
+    check vacuously true for every on-curve point)."""
+    if k == 0 or p.inf:
+        return G1.identity()
+    xyz = _jac_mul_generic(p.x, p.y, k, _FP_OPS)
+    if xyz is None:
+        return G1.identity()
+    x, y, z = xyz
+    zi = fp_inv(z)
+    zi2 = zi * zi % P
+    return G1(x * zi2 % P, y * zi2 % P * zi % P)
+
+
+def g2_mul_unreduced(p: "G2", k: int) -> "G2":
+    if k == 0 or p.inf:
+        return G2.identity()
+    xyz = _jac_mul_generic(p.x, p.y, k, _FP2_OPS)
+    if xyz is None:
+        return G2.identity()
+    x, y, z = xyz
+    zi = z.inv()
+    zi2 = zi * zi
+    return G2(x * zi2, y * zi2 * zi)
+
+
 def _jac_add(a, b, ops):
     """Full Jacobian + Jacobian addition (a, b = (X,Y,Z) or None=inf)."""
     if a is None:

@@ -326,11 +326,13 @@ def prove(pk: ProvingKey, witness: list, rand_seed: bytes | None = None
 
 
 def _valid_g1(p: G1) -> bool:
-    return p.is_on_curve() and (p.inf or p.mul(R).inf)
+    # [r]P == O via the UNREDUCED ladder (G1.mul reduces k mod r, which
+    # would make this check pass for any on-curve point)
+    return p.is_on_curve() and (p.inf or bls.g1_mul_unreduced(p, R).inf)
 
 
 def _valid_g2(p: G2) -> bool:
-    return p.is_on_curve() and (p.inf or p.mul(R).inf)
+    return p.is_on_curve() and (p.inf or bls.g2_mul_unreduced(p, R).inf)
 
 
 def verify(vk: VerifyingKey, public_inputs: list,
@@ -338,14 +340,16 @@ def verify(vk: VerifyingKey, public_inputs: list,
     """e(A,B) == e(alpha,beta) e(IC(pub),gamma) e(C,delta).
 
     Proof points are validated first (on-curve + prime-order subgroup via
-    [r]P == O) so deserialized untrusted bytes cannot feed invalid points
-    into the pairing."""
+    an unreduced [r]P == O) so deserialized untrusted bytes cannot feed
+    invalid points into the pairing. Malformed inputs return False (never
+    raise — this is the untrusted-input boundary)."""
+    if len(public_inputs) != len(vk.ic) - 1:
+        return False
     if not (_valid_g1(proof.a) and _valid_g2(proof.b) and
             _valid_g1(proof.c)):
         return False
     if proof.a.inf or proof.b.inf:
         return False
-    assert len(public_inputs) == len(vk.ic) - 1
     acc = vk.ic[0]
     for base, x in zip(vk.ic[1:], public_inputs):
         acc = acc.add(base.mul(x))

@@ -68,7 +68,8 @@ class _Backend:
             self.store.set_bytes(_jid(req["k"]), bytes.fromhex(req["v"]))
             return {"ok": True}
         if op == "inc":
-            return {"n": self.store.inc_counter(_jid(req["k"]))}
+            jid = _jid(req["j"]) if req.get("j") else None
+            return {"n": self.store.inc_counter(_jid(req["k"]), jid)}
         if op == "goal":
             return {"n": self.store.get_goal(_jid(req["k"]))}
         if op == "next":
@@ -187,8 +188,12 @@ class NetProofStore(QProofStore):
     def set_bytes(self, jid: JobID, data: bytes) -> None:
         self._c.call({"op": "setnx", "k": jid.hex(), "v": data.hex()})
 
-    def inc_counter(self, counter_id: JobID) -> int:
-        return self._c.call({"op": "inc", "k": counter_id.hex()})["n"]
+    def inc_counter(self, counter_id: JobID,
+                    job_id: JobID | None = None) -> int:
+        # with job_id the server counts each (counter, job) pair once, so
+        # the auto-reconnect retry below cannot double-increment
+        return self._c.call({"op": "inc", "k": counter_id.hex(),
+                             "j": job_id.hex() if job_id else None})["n"]
 
     def get_goal(self, counter_id: JobID) -> int:
         return self._c.call({"op": "goal", "k": counter_id.hex()})["n"]

@@ -303,6 +303,27 @@ class Orchestrator:
         sighash/finalizer.rs:19-66)."""
         cp = checkpoint_id
         city = self.city
+        if l1_context is not None:
+            # validate BEFORE any op mutates the store: a withdrawal whose
+            # address flag produces a script size the covenant shape can't
+            # carry would otherwise crash _finalize_sighashes after the
+            # state is half-applied (one bad request = a dead block)
+            want = l1_context.spend_cfg.withdrawal_output_script_size
+
+            def _check_flag(wid, limb2):
+                flag = (int(limb2) >> 48) & 0xFFFF
+                size = 23 if flag else 25
+                if size != want:
+                    raise ValueError(
+                        f"withdrawal {wid}: script size {size} (flag "
+                        f"{flag}) does not match the covenant's "
+                        f"{want}-byte withdrawal outputs")
+
+            for r in requests.add_withdrawals:
+                _check_flag(r.withdrawal_id, r.address[2])
+            for r in requests.process_withdrawals:
+                leaf = city.withdrawal_tree.get_leaf(r.withdrawal_id, cp)
+                _check_flag(r.withdrawal_id, leaf[3])
         reqs_by_family = {
             "register": requests.register_users,
             "claim": requests.claim_deposits,

@@ -38,8 +38,13 @@ class QProofStore:
         self.set_bytes(jid, data)
 
     # -- counter DAG ---------------------------------------------------------
-    def inc_counter(self, counter_id: JobID) -> int:
-        """Atomically bump and return the new count."""
+    def inc_counter(self, counter_id: JobID,
+                    job_id: JobID | None = None) -> int:
+        """Atomically bump and return the new count. With `job_id`, the
+        increment is EXACTLY-ONCE per (counter, job): a duplicate (network
+        retry, at-least-once job redelivery) returns -1 and does not count —
+        otherwise a replayed increment could release a parent early or
+        overshoot the goal and deadlock the DAG."""
         raise NotImplementedError
 
     def get_goal(self, counter_id: JobID) -> int:
@@ -82,10 +87,12 @@ class QProofStore:
 
     def on_job_complete(self, jid: JobID) -> list[JobID]:
         """Worker-side completion hook: bump every counter this job is a
-        member of; return the dependents of any counter that hit its goal."""
+        member of; return the dependents of any counter that hit its goal.
+        Passing the job id makes each (counter, job) increment exactly-once
+        under redelivery/retries."""
         released: list[JobID] = []
         for counter in self.memberships(jid):
-            n = self.inc_counter(counter)
+            n = self.inc_counter(counter, jid)
             if n == self.get_goal(counter):
                 released.extend(self.get_next_jobs(counter))
         return released
@@ -100,6 +107,7 @@ class MemoryProofStore(QProofStore):
         self._data: dict[bytes, bytes] = {}
         self._counters: dict[bytes, dict] = {}
         self._membership: dict[bytes, list[JobID]] = {}
+        self._counted: set[tuple[bytes, bytes]] = set()
 
     def get_bytes(self, jid: JobID) -> Optional[bytes]:
         with self._lock:
@@ -109,8 +117,14 @@ class MemoryProofStore(QProofStore):
         with self._lock:
             self._data.setdefault(jid.to_bytes(), data)
 
-    def inc_counter(self, counter_id: JobID) -> int:
+    def inc_counter(self, counter_id: JobID,
+                    job_id: JobID | None = None) -> int:
         with self._lock:
+            if job_id is not None:
+                pair = (counter_id.to_bytes(), job_id.to_bytes())
+                if pair in self._counted:
+                    return -1            # duplicate: already counted
+                self._counted.add(pair)
             c = self._counters[counter_id.to_bytes()]
             c["count"] += 1
             return c["count"]
@@ -153,6 +167,7 @@ class MemoryProofStore(QProofStore):
                 "membership": {
                     k.hex(): [c.hex() for c in lst]
                     for k, lst in self._membership.items()},
+                "counted": [[c.hex(), j.hex()] for c, j in self._counted],
             }
 
     @classmethod
@@ -170,4 +185,6 @@ class MemoryProofStore(QProofStore):
             bytes.fromhex(k): [JobID.from_bytes(bytes.fromhex(c))
                                for c in lst]
             for k, lst in dump.get("membership", {}).items()}
+        s._counted = {(bytes.fromhex(c), bytes.fromhex(j))
+                      for c, j in dump.get("counted", [])}
         return s

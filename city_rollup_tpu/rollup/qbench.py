@@ -41,9 +41,12 @@ def dump_block(store: MemoryProofStore, planned) -> BlockProofStoreDump:
 
 
 def run_worker_qbench(dump: BlockProofStoreDump, toolbox: CircuitToolbox,
-                      num_rounds: int = 1) -> list[dict]:
+                      num_rounds: int = 1, batch: int = 1) -> list[dict]:
     """Replay the dumped block num_rounds times; returns
-    [{job_id, duration_ms}] across all rounds (qbench.rs:15-66 twin)."""
+    [{job_id, duration_ms}] across all rounds (qbench.rs:15-66 twin).
+    `batch > 1` drains through the batched-prove path (same-circuit ready
+    jobs grouped into one device call) — the apples-to-apples comparison
+    of the TPU-native scheduling win over per-job proving."""
     results: list[dict] = []
     for _ in range(num_rounds):
         store = MemoryProofStore.restore(dump.store_dump)
@@ -51,8 +54,12 @@ def run_worker_qbench(dump: BlockProofStoreDump, toolbox: CircuitToolbox,
         for j in dump.leaf_jobs:
             hub.dispatch(Q_JOB, bytes.fromhex(j))
         worker = Worker(toolbox, store, hub)
-        while worker.process_next_job():
-            pass
+        if batch > 1:
+            while worker.process_ready_batch(max_batch=batch):
+                pass
+        else:
+            while worker.process_next_job():
+                pass
         results.extend({"job_id": b.job_id, "duration_ms": b.duration_ms}
                        for b in worker.benchmarks)
     return results

@@ -53,7 +53,7 @@ class Worker:
             return False
         mid, msg = got
         job = JobID.from_bytes(msg)
-        if not self.mode.accepts(job):
+        if not self._accepts_job(job):
             # not ours: put it back for a specialized worker
             self.hub.ack(Q_JOB, mid)
             self.hub.dispatch(Q_JOB, msg)
@@ -66,14 +66,25 @@ class Worker:
         self.hub.ack(Q_JOB, mid)
         return True
 
+    def _accepts_job(self, job: JobID) -> bool:
+        """Mode + capability filter: jobs this worker must leave for a
+        specialized/sighash-equipped worker."""
+        from .job_id import CircuitType
+        if not self.mode.accepts(job):
+            return False
+        if self.sighash is None and job.circuit_type in (
+                CircuitType.SIGHASH_INTROSPECTION,
+                CircuitType.SIGHASH_WRAPPER, CircuitType.SIGHASH_FINAL_GL,
+                CircuitType.WRAP_FINAL_SIGHASH_PROOF_BLS12381):
+            return False
+        return True
+
     def process_ready_batch(self, max_batch: int = 8) -> int:
         """Batched drain (SURVEY.md §2.11 "levels batched"): pop up to
         `max_batch` ready jobs, group the op/dummy/agg jobs that share ONE
         circuit, prove each group with a single batched device call
         (snark_prover.prove_batch), and fall back to per-job proving for
         everything else. Returns the number of jobs processed."""
-        from . import circuits as _c
-        from .job_id import CircuitType
         import time as _time
 
         popped: list[tuple[int, JobID]] = []
@@ -83,10 +94,13 @@ class Worker:
                 break
             mid, msg = got
             job = JobID.from_bytes(msg)
-            if not self.mode.accepts(job):
+            if not self._accepts_job(job):
+                # not ours: put it back for another worker and STOP popping
+                # this round (re-dispatching makes it immediately visible —
+                # continuing would re-receive it in a busy loop)
                 self.hub.ack(Q_JOB, mid)
                 self.hub.dispatch(Q_JOB, msg)
-                continue
+                break
             popped.append((mid, job))
         if not popped:
             return 0
@@ -94,14 +108,12 @@ class Worker:
         # group batchable jobs by their circuit object
         groups: dict[int, list] = {}
         singles: list[tuple[int, JobID]] = []
-        prepared: dict[bytes, tuple] = {}
         for mid, job in popped:
             prep = self._try_prepare(job)
             if prep is None:
                 singles.append((mid, job))
             else:
                 data, pw = prep
-                prepared[job.to_bytes()] = prep
                 groups.setdefault(id(data), []).append((mid, job, data, pw))
 
         from ..snark import prover as snark_prover

@@ -41,11 +41,16 @@ def wait_for_block_complete(hub, planned, poll_s: float = 0.25,
         got = hub.receive(Q_NOTIFICATIONS)
         if got is not None:
             mid, msg = got
-            hub.ack(Q_NOTIFICATIONS, mid)
             jid = JobID.from_bytes(msg)
             if jid.topic == JobTopic.NOTIFY_ORCHESTRATOR_COMPLETE and \
                     jid.goal_id == planned.checkpoint_id:
+                hub.ack(Q_NOTIFICATIONS, mid)
                 return True
+            # another block's notification: put it back for its waiter
+            # (acking + dropping would lose it permanently)
+            hub.ack(Q_NOTIFICATIONS, mid)
+            hub.dispatch(Q_NOTIFICATIONS, msg)
+            time.sleep(poll_s)      # avoid a tight re-receive loop
         if timeout_s is not None and time.monotonic() - start > timeout_s:
             return False
         time.sleep(poll_s)

@@ -48,6 +48,24 @@ def test_netstore_counter_dag(server):
     assert [j.hex() for j in released] == [J(9).hex()]
 
 
+def test_counter_exactly_once_per_job(server):
+    """A replayed increment for the SAME (counter, job) pair — network
+    retry or at-least-once job redelivery — must not double-count (it
+    could release a parent early or overshoot the goal and deadlock)."""
+    s = NetProofStore(server.host, server.port)
+    jobs = [J(1), J(2)]
+    s.write_next_jobs(jobs, [J(9)])
+    assert s.on_job_complete(jobs[0]) == []
+    # redelivered job 1 completes again: no double count, no early release
+    assert s.on_job_complete(jobs[0]) == []
+    counter = jobs[0].counter_id()
+    assert s.inc_counter(counter, jobs[0]) == -1     # dup signalled
+    released = s.on_job_complete(jobs[1])
+    assert [j.hex() for j in released] == [J(9).hex()]
+    # and completing job 2 again releases nothing a second time
+    assert s.on_job_complete(jobs[1]) == []
+
+
 def test_netstore_counter_atomic_across_clients(server):
     """Concurrent increments from many client connections must count
     exactly once each (the hincr contract)."""
