@@ -229,6 +229,43 @@ def cmd_user_prover(args):
     return 0
 
 
+def cmd_orchestrator(args):
+    """Block-production service loop (reference `city_rollup_cli
+    orchestrator`, sync_infinite_loop): wait for produce-block commands,
+    flush the RPC ingress queues, plan + enqueue the DAG against the
+    shared netstore, await completion, record block state."""
+    from .rollup import orchestrator as om
+    from .rollup.circuits import DEFAULT_PARAMS, FAST_TEST_PARAMS
+    from .rollup.city_store import CityStore
+    from .rollup.kvq import KVQSqliteStore
+    from .rollup.netstore import NetProofStore, NetQueueHub
+    from .services.orchestrator_service import (produce_one_block,
+                                                wait_for_produce_block)
+
+    host, port = args.store.rsplit(":", 1)
+    store = NetProofStore(host, int(port))
+    hub = NetQueueHub(host, int(port))
+    params = FAST_TEST_PARAMS if args.fast else DEFAULT_PARAMS
+    city = CityStore(
+        store=KVQSqliteStore(args.state) if args.state else None,
+        user_tree_height=params.user_tree_height,
+        deposit_tree_height=params.deposit_tree_height,
+        withdrawal_tree_height=params.withdrawal_tree_height)
+    orch = om.Orchestrator(city, store, hub, params=params)
+    checkpoint = args.start_checkpoint
+    print(json.dumps({"orchestrator": "ready",
+                      "checkpoint": checkpoint}), flush=True)
+    while True:
+        if not wait_for_produce_block(hub, timeout_s=args.max_idle or None):
+            print(json.dumps({"orchestrator": "idle-exit"}), flush=True)
+            return 0
+        planned, done = produce_one_block(
+            orch, hub, checkpoint, timeout_s=args.block_timeout)
+        print(json.dumps({"block": checkpoint, "jobs": planned.num_jobs,
+                          "complete": bool(done)}), flush=True)
+        checkpoint += 1
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="city_rollup_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -298,6 +335,18 @@ def main(argv=None):
     up.add_argument("--port", type=int, default=7446)
     up.add_argument("--fast", action="store_true")
     up.set_defaults(fn=cmd_user_prover)
+
+    orc = sub.add_parser("orchestrator", help="block production service")
+    orc.add_argument("--store", default="127.0.0.1:7450", help="netstore")
+    orc.add_argument("--state", default=None,
+                     help="sqlite KVQ file for durable rollup state")
+    orc.add_argument("--fast", action="store_true")
+    orc.add_argument("--start-checkpoint", type=int, default=1)
+    orc.add_argument("--block-timeout", type=float, default=None,
+                     help="seconds to await block completion (None: don't)")
+    orc.add_argument("--max-idle", type=float, default=0.0,
+                     help="exit if no produce-block arrives (0 = wait forever)")
+    orc.set_defaults(fn=cmd_orchestrator)
 
     args = p.parse_args(argv)
     return args.fn(args)

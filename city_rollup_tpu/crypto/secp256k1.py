@@ -252,6 +252,63 @@ def felts_of_u256(v: int) -> list[int]:
     return [(v >> (48 * i)) & ((1 << 48) - 1) for i in range(6)]
 
 
+# -- GLV endomorphism (curve/glv.rs twin) --------------------------------------
+# secp256k1 has an efficient endomorphism psi(x, y) = (BETA x, y) acting as
+# scalar multiplication by LAMBDA; splitting k = k1 + k2*LAMBDA with
+# |k1|, |k2| ~ sqrt(n) halves the double-and-add length (the reference's
+# in-circuit windowed mul builds on exactly this decomposition).
+
+GLV_BETA = 0x7AE96A2B657C07106E64479EAC3434E99CF0497512F58995C1396C28719501EE
+GLV_LAMBDA = 0x5363AD4CC05C30E0A5261C028812645A122E22EA20816678DF02967C1B23BD72
+_GLV_A1 = 0x3086D221A7D46BCDE86C90E49284EB15
+_GLV_B1 = -0xE4437ED6010E88286F547FA90ABFE4C3
+_GLV_A2 = 0x114CA50F7A8E2F3F657C1108D9D44CFD8
+_GLV_B2 = _GLV_A1
+
+
+def glv_decompose(k: int) -> tuple[int, int]:
+    """k mod n -> (k1, k2) with k == k1 + k2 * LAMBDA (mod n) and
+    |k1|, |k2| < ~2^128 (may be negative)."""
+    k %= N
+    c1 = (_GLV_B2 * k + N // 2) // N
+    c2 = (-_GLV_B1 * k + N // 2) // N
+    k1 = k - c1 * _GLV_A1 - c2 * _GLV_A2
+    k2 = -c1 * _GLV_B1 - c2 * _GLV_B2
+    return k1, k2
+
+
+def endo(p: AffinePoint) -> AffinePoint:
+    """psi(P) = (beta x, y) = [LAMBDA] P."""
+    if p.infinity:
+        return p
+    return AffinePoint(GLV_BETA * p.x % P, p.y)
+
+
+def glv_mul(k: int, p: AffinePoint) -> AffinePoint:
+    """Scalar mul via the GLV split: two ~128-bit double-and-adds merged
+    (Straus-Shamir trick), half the doublings of the plain ladder."""
+    k1, k2 = glv_decompose(k)
+    p1 = p if k1 >= 0 else AffinePoint(p.x, P - p.y) \
+        if not p.infinity else p
+    q = endo(p)
+    p2 = q if k2 >= 0 else AffinePoint(q.x, P - q.y) \
+        if not q.infinity else q
+    a, b = abs(k1), abs(k2)
+    bits = max(a.bit_length(), b.bit_length())
+    both = add(p1, p2)
+    acc = INFINITY
+    for i in range(bits - 1, -1, -1):
+        acc = add(acc, acc)
+        ba, bb = (a >> i) & 1, (b >> i) & 1
+        if ba and bb:
+            acc = add(acc, both)
+        elif ba:
+            acc = add(acc, p1)
+        elif bb:
+            acc = add(acc, p2)
+    return acc
+
+
 def combined_action_hash(pk: ECDSAPublicKey, msg_hash: int) -> list[int]:
     """Poseidon(pk9 ∥ msg as 4x64-bit LE felts) — the single public input
     the secp256k1 signature circuit exposes (combined-hash convention of

@@ -11,7 +11,7 @@ from city_rollup_tpu import cli
 def test_cli_help_all_subcommands(capsys):
     for sub in ("full-block", "qbench", "inspect-dump",
                 "print-circuit-info", "store-server", "l2-worker",
-                "api-server", "rpc-server", "user-prover"):
+                "api-server", "rpc-server", "user-prover", "orchestrator"):
         with pytest.raises(SystemExit) as e:
             cli.main([sub, "--help"])
         assert e.value.code == 0

@@ -79,3 +79,23 @@ def test_ecdsa_sign_verify_roundtrip():
     # compressed round-trip
     rt = s.ECDSAPublicKey.from_bytes_compressed(pk.to_bytes_compressed())
     assert rt.point == pk.point
+
+
+def test_glv_decomposition_and_mul():
+    """GLV endomorphism split (curve/glv.rs twin): k = k1 + k2*lambda with
+    half-width halves, endo(P) == [lambda]P, and glv_mul == scalar_mul."""
+    import random
+    from city_rollup_tpu.crypto import secp256k1 as c
+    rnd = random.Random(3)
+    assert pow(c.GLV_BETA, 3, c.P) == 1 and c.GLV_BETA != 1
+    assert pow(c.GLV_LAMBDA, 3, c.N) == 1 and c.GLV_LAMBDA != 1
+    g = c.GENERATOR
+    assert c.endo(g) == c.scalar_mul(c.GLV_LAMBDA, g)
+    for _ in range(4):
+        k = rnd.randrange(1, c.N)
+        k1, k2 = c.glv_decompose(k)
+        assert (k1 + k2 * c.GLV_LAMBDA - k) % c.N == 0
+        assert abs(k1).bit_length() <= 129
+        assert abs(k2).bit_length() <= 129
+        assert c.glv_mul(k, g) == c.scalar_mul(k, g)
+    assert c.glv_mul(0, g).infinity
