@@ -368,9 +368,41 @@ def np_pow(a, e: int) -> np.ndarray:
 
 
 def np_inverse(a) -> np.ndarray:
-    """Elementwise modular inverse via Fermat (vectorized host path for
-    permutation-argument denominators and opening-quotient division)."""
-    return np_pow(a, P - 2)
+    """Elementwise modular inverse (vectorized host path for permutation-
+    argument denominators and opening-quotient division). Montgomery-style
+    batch inversion over a pairwise product tree: ~3 multiplies per element
+    + ONE scalar exponentiation, vs ~96 multiply-passes for elementwise
+    Fermat. Zeros map to zero (Fermat semantics preserved)."""
+    a = np.asarray(a, dtype=np.uint64)
+    flat = a.reshape(-1)
+    n = flat.size
+    if n == 0:
+        return a.copy()
+    if n == 1:
+        v = int(flat[0])
+        inv = pow(v, P - 2, P) if v else 0
+        return np.full(a.shape, inv, dtype=np.uint64)
+    zero_mask = flat == 0
+    vals = np.where(zero_mask, np.uint64(1), flat)
+    m = 1 << (n - 1).bit_length()
+    buf = np.ones(m, dtype=np.uint64)
+    buf[:n] = vals
+    levels = [buf]
+    cur = buf
+    while cur.size > 1:
+        cur = np_mul(cur[0::2], cur[1::2])
+        levels.append(cur)
+    inv = np.array([pow(int(cur[0]), P - 2, P)], dtype=np.uint64)
+    for lvl in reversed(levels[:-1]):
+        left, right = lvl[0::2], lvl[1::2]
+        inv_left = np_mul(inv, right)
+        inv_right = np_mul(inv, left)
+        nxt = np.empty_like(lvl)
+        nxt[0::2] = inv_left
+        nxt[1::2] = inv_right
+        inv = nxt
+    out = np.where(zero_mask, np.uint64(0), inv[:n])
+    return out.reshape(a.shape)
 
 
 def np_powers(base: int, n: int) -> np.ndarray:

@@ -87,3 +87,22 @@ def test_roots_of_unity():
         w = gl64.h_primitive_root_of_unity(k)
         assert pow(w, 2**k, P) == 1
         assert pow(w, 2**(k - 1), P) != 1
+
+
+def test_np_inverse_batch_tree():
+    """Product-tree batch inversion must match elementwise Fermat,
+    including zeros (-> 0), ones, and p-1 (round-4 hot-path rewrite)."""
+    import numpy as np
+    from city_rollup_tpu.core import gl64
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, gl64.P, size=(5, 33), dtype=np.uint64)
+    a[0, 0] = 0
+    a[1, 1] = 1
+    a[2, 2] = gl64.P - 1
+    inv = gl64.np_inverse(a)
+    prod = gl64.np_mul(a, inv)
+    nz = a != 0
+    assert (prod[nz] == 1).all()
+    assert (inv[~nz] == 0).all()
+    assert int(inv[2, 2]) == gl64.P - 1          # (p-1)^-1 == p-1
+    assert gl64.np_inverse(np.empty(0, dtype=np.uint64)).size == 0
