@@ -12,17 +12,29 @@ import os
 if not os.environ.get("CITY_TPU_TESTS"):
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        # optimization_level=1: the CPU backend's default LLVM pipeline takes
-        # ~50 s to compile one Poseidon round body; level 1 compiles in <1 s
-        # and tests don't need peak CPU throughput.
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-            " --xla_backend_optimization_level=1").strip()
-    # NO persistent compile cache on the CPU backend: XLA:CPU AOT cache
-    # entries embed compile-machine feature strings (incl. pseudo-features
-    # like prefer-no-scatter); reloading them trips cpu_aot_loader feature
-    # mismatches and can stall execution outright. Must be set BEFORE the
-    # package import, which would otherwise enable the cache.
-    os.environ["CITY_ROLLUP_XLA_CACHE"] = "off"
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if os.environ.get("CITY_TESTS_FAST_EXEC"):
+        # Heavy integration runs (full-block proofs): default LLVM
+        # optimization (fast EXECUTION, ~50 s compiles) + a CPU-only
+        # persistent cache so repeat runs skip the compiles. Safe because
+        # the cache dir is keyed per JAX_PLATFORMS — the cross-backend AOT
+        # feature-mismatch poisoning came from sharing one dir with the
+        # TPU plugin's entries.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.setdefault(
+            "CITY_ROLLUP_XLA_CACHE",
+            os.path.expanduser("~/.cache/city_rollup_tpu/xla-cputests"))
+    else:
+        # Default: optimization_level=1 — the CPU backend's default LLVM
+        # pipeline takes ~50 s to compile one Poseidon round body; level 1
+        # compiles in <1 s. Right for the many small unit-test circuits,
+        # but EXECUTES 10-50x slower — use CITY_TESTS_FAST_EXEC=1 for the
+        # heavy slow-marked integration tests.
+        flags += " --xla_backend_optimization_level=1"
+        # NO persistent compile cache here: XLA:CPU AOT entries embed
+        # compile-machine feature strings; stale/foreign entries trip
+        # cpu_aot_loader mismatches and can stall execution outright.
+        os.environ["CITY_ROLLUP_XLA_CACHE"] = "off"
+    os.environ["XLA_FLAGS"] = flags
     import jax
     jax.config.update("jax_platforms", "cpu")

@@ -20,6 +20,7 @@ from city_rollup_tpu.rollup.queues import Q_JOB, Q_NOTIFICATIONS, QueueHub
 from city_rollup_tpu.rollup.worker import Worker
 
 
+@pytest.mark.slow
 def test_full_block_in_memory():
     p = FAST_TEST_PARAMS
     city = CityStore(user_tree_height=p.user_tree_height,
