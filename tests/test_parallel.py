@@ -49,5 +49,23 @@ def test_dist_merkle_cap_matches_single_device():
         ref.cap_u64())
 
 
+def test_dist_lde_commit_fused_matches_single_device():
+    """The fused one-graph LDE+commit path (the multichip dryrun gate)."""
+    from city_rollup_tpu.parallel import dist_pipeline
+    rng = np.random.default_rng(3)
+    log_n, rate, leaf_width, cap_height = 7, 3, 8, 4
+    coeffs = _rand_u64(rng, 1 << log_n)
+    m = mesh_mod.make_mesh()
+    cap, lde = dist_pipeline.dist_lde_commit(
+        m, gl64.from_u64(coeffs), log_n, rate, leaf_width, cap_height)
+    ref_lde = ntt.coset_lde(gl64.from_u64(coeffs), log_n, rate)
+    np.testing.assert_array_equal(np.asarray(lde[0]), np.asarray(ref_lde[0]))
+    ref = merkle.MerkleTree(
+        (ref_lde[0].reshape(-1, leaf_width), ref_lde[1].reshape(-1, leaf_width)),
+        cap_height)
+    np.testing.assert_array_equal(
+        gl64.to_u64(np.asarray(cap[0]), np.asarray(cap[1])), ref.cap_u64())
+
+
 def test_device_count():
     assert len(jax.devices()) == 8
