@@ -2,15 +2,24 @@
 the real device (BASELINE.json config 2 — the NTT-kernel north-star metric).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "elems/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "elems/s", "vs_baseline": N, ...}
+
+Methodology notes (round 5): the axon tunnel makes `block_until_ready`
+unreliable and host<->device copies run at ~30 MB/s, so reps use distinct
+DEVICE-RESIDENT inputs (derived on device) and sync by fetching the tiny
+(16, 4) caps to host — timings measure device compute, not transfers and
+not a replayed cache. 2^22 x 64 (the headline size, 16 GB of LDE) runs the
+streamed commit (pipeline.lde_commit_streamed: slab LDE + resident sponge
+absorb), which is also cross-checked against the one-shot pipeline at 2^14.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); we anchor
 against a conservative single-socket CPU estimate for rate-8 LDE + Merkle
 commit of the same shape (plonky2-class CPU provers sustain ~2e7 LDE+commit
 elems/s/socket on a modern x86; BASELINE.md target is >=10x that).
 
-Env knobs: CITY_BENCH_LOG_N (default 20 — BASELINE config 2),
-CITY_BENCH_BATCH (default 64), CITY_BENCH_REPS (default 3).
+Env knobs: CITY_BENCH_LOG_N (default 20), CITY_BENCH_BATCH (default 64),
+CITY_BENCH_REPS (default 3), CITY_BENCH_LOG_N2 (secondary size, default 22;
+set empty to skip).
 """
 
 import json
@@ -21,38 +30,85 @@ import time
 CPU_BASELINE_ELEMS_PER_S = 2.0e7
 
 
-def main():
-    log_n = int(os.environ.get("CITY_BENCH_LOG_N", "20"))
-    batch = int(os.environ.get("CITY_BENCH_BATCH", "64"))
-    reps = int(os.environ.get("CITY_BENCH_REPS", "3"))
-    rate_bits, cap_height = 3, 4
-
+def _run(fn, lo, hi, reps):
     import jax
+    import jax.numpy as jnp
+    import numpy as np
+    cap = fn(lo, hi)
+    _ = np.asarray(cap[0])                    # compile + warm, forced
+    ins = [((lo ^ jnp.uint32(i + 1)) & jnp.uint32(0x7FFFFFFF), hi)
+           for i in range(reps)]
+    for l, h in ins:
+        jax.block_until_ready((l, h))
+    _ = [np.asarray(l[0, 0:1]) for l, _h in ins]   # force materialization
+    t0 = time.perf_counter()
+    caps = [fn(l, h) for (l, h) in ins]
+    _ = [np.asarray(c[0]) for c in caps]           # sync via tiny fetch
+    return (time.perf_counter() - t0) / reps
+
+
+def _bench_size(log_n, batch, reps, rate_bits, cap_height, streamed):
     import numpy as np
     from city_rollup_tpu.core import gl64
-    from city_rollup_tpu.pipeline import jit_lde_commit
+    from city_rollup_tpu import pipeline
 
     rng = np.random.default_rng(0)
     vals = rng.integers(0, gl64.P, size=(batch, 1 << log_n), dtype=np.uint64)
     lo, hi = gl64.from_u64(vals)
-    fn = jit_lde_commit(log_n, rate_bits, cap_height)
+    if streamed:
+        fn = pipeline.jit_lde_commit_streamed(log_n, rate_bits, cap_height)
+    else:
+        fn = pipeline.jit_lde_commit(log_n, rate_bits, cap_height)
+    dt = _run(fn, lo, hi, reps)
+    elems = batch * (1 << (log_n + rate_bits))
+    return elems / dt
 
-    # compile + warmup
-    jax.block_until_ready(fn(lo, hi))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(lo, hi)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
 
-    elems = batch * (1 << (log_n + rate_bits))   # LDE output elements hashed
-    value = elems / dt
+def main():
+    log_n = int(os.environ.get("CITY_BENCH_LOG_N", "20"))
+    batch = int(os.environ.get("CITY_BENCH_BATCH", "64"))
+    reps = int(os.environ.get("CITY_BENCH_REPS", "3"))
+    log_n2 = os.environ.get("CITY_BENCH_LOG_N2", "22")
+    rate_bits, cap_height = 3, 4
+
+    import jax
+    import numpy as np
+    from city_rollup_tpu.core import gl64, pallas_poseidon
+    from city_rollup_tpu import pipeline
+
+    platform = jax.devices()[0].platform
+    streamed_ok = pallas_poseidon.available()
+
+    extra = {}
+    if streamed_ok:
+        # cross-check streamed vs one-shot at a small size before trusting it
+        rng = np.random.default_rng(7)
+        sv = rng.integers(0, gl64.P, size=(16, 1 << 10), dtype=np.uint64)
+        slo, shi = gl64.from_u64(sv)
+        a = pipeline.jit_lde_commit(10, rate_bits, cap_height)(slo, shi)
+        b = pipeline.jit_lde_commit_streamed(10, rate_bits, cap_height)(
+            slo, shi)
+        assert np.array_equal(np.asarray(a[0]), np.asarray(b[0])), \
+            "streamed commit mismatch"
+
+    value = _bench_size(log_n, batch, reps, rate_bits, cap_height,
+                        streamed=False)
+
+    if log_n2 and streamed_ok:
+        v2 = _bench_size(int(log_n2), batch, max(1, reps - 1), rate_bits,
+                         cap_height, streamed=True)
+        extra[f"elems_per_s_2^{log_n2}_streamed"] = round(v2, 1)
+        extra[f"vs_baseline_2^{log_n2}"] = round(
+            v2 / CPU_BASELINE_ELEMS_PER_S, 3)
+
     print(json.dumps({
         "metric": f"lde_commit elems/s (2^{log_n} x {batch} polys, rate 8, "
-                  f"Poseidon cap {cap_height}, {jax.devices()[0].platform})",
+                  f"Poseidon cap {cap_height}, {platform}, pallas="
+                  f"{streamed_ok})",
         "value": round(value, 1),
         "unit": "elems/s",
         "vs_baseline": round(value / CPU_BASELINE_ELEMS_PER_S, 3),
+        **extra,
     }))
 
 

@@ -100,12 +100,32 @@ def _partial_body(carry, r):
     return _partial_round(carry, r), None
 
 
+# Batch size above which the Pallas TPU kernels (core.pallas_poseidon) take
+# over: below it, per-call overhead and per-shape Mosaic compiles outweigh
+# the ~3x throughput win. Dispatch happens at trace time (static shapes).
+_PALLAS_MIN_BATCH = 4096
+
+
+def _use_pallas(batch_elems: int) -> bool:
+    if batch_elems < _PALLAS_MIN_BATCH:
+        return False
+    from . import pallas_poseidon
+    return pallas_poseidon.available()
+
+
 @jax.jit
 def permute(state):
     """Poseidon permutation on (lo, hi) state of shape (..., 12).
 
     Module-level jit: traced once per batch shape (the scan bodies are
-    module-level too, so nothing re-traces per call)."""
+    module-level too, so nothing re-traces per call). Large batches on a
+    real TPU route to the Pallas kernel (bit-identical)."""
+    bsz = 1
+    for d in state[0].shape[:-1]:
+        bsz *= d
+    if _use_pallas(bsz):
+        from . import pallas_poseidon
+        return pallas_poseidon.permute(state)
     h = params.HALF_N_FULL_ROUNDS
     state, _ = jax.lax.scan(_full_body, state, jnp.arange(h))
     state, _ = jax.lax.scan(
@@ -119,6 +139,12 @@ def permute(state):
 @jax.jit
 def two_to_one(left, right):
     """Batched Merkle compress: (..., 4) x (..., 4) -> (..., 4)."""
+    bsz = 1
+    for d in left[0].shape[:-1]:
+        bsz *= d
+    if _use_pallas(bsz):
+        from . import pallas_poseidon
+        return pallas_poseidon.two_to_one(left, right)
     zlo = jnp.zeros_like(left[0])
     lo = jnp.concatenate([left[0], right[0], zlo], axis=-1)
     hi = jnp.concatenate([left[1], right[1], zlo], axis=-1)
@@ -135,6 +161,12 @@ def hash_no_pad(inputs):
     lo, hi = inputs
     n = lo.shape[-1]
     batch_shape = lo.shape[:-1]
+    bsz = 1
+    for d in batch_shape:
+        bsz *= d
+    if n > 4 and _use_pallas(bsz):
+        from . import pallas_poseidon
+        return pallas_poseidon.hash_no_pad(inputs)
     slo = jnp.zeros(batch_shape + (WIDTH,), dtype=_U32)
     shi = jnp.zeros(batch_shape + (WIDTH,), dtype=_U32)
     for start in range(0, n, RATE):
