@@ -56,7 +56,11 @@ def _bench_size(log_n, batch, reps, rate_bits, cap_height, streamed):
     vals = rng.integers(0, gl64.P, size=(batch, 1 << log_n), dtype=np.uint64)
     lo, hi = gl64.from_u64(vals)
     if streamed:
-        fn = pipeline.jit_lde_commit_streamed(log_n, rate_bits, cap_height)
+        # per-slab jits (inside lde_commit_streamed), NOT one whole-graph
+        # jit: the 8-slab megagraph is too large for the remote compiler
+        import functools
+        fn = functools.partial(pipeline.lde_commit_streamed, log_n=log_n,
+                               rate_bits=rate_bits, cap_height=cap_height)
     else:
         fn = pipeline.jit_lde_commit(log_n, rate_bits, cap_height)
     dt = _run(fn, lo, hi, reps)
@@ -86,8 +90,9 @@ def main():
         sv = rng.integers(0, gl64.P, size=(16, 1 << 10), dtype=np.uint64)
         slo, shi = gl64.from_u64(sv)
         a = pipeline.jit_lde_commit(10, rate_bits, cap_height)(slo, shi)
-        b = pipeline.jit_lde_commit_streamed(10, rate_bits, cap_height)(
-            slo, shi)
+        b = pipeline.lde_commit_streamed(slo, shi, log_n=10,
+                                         rate_bits=rate_bits,
+                                         cap_height=cap_height)
         assert np.array_equal(np.asarray(a[0]), np.asarray(b[0])), \
             "streamed commit mismatch"
 
@@ -95,11 +100,14 @@ def main():
                         streamed=False)
 
     if log_n2 and streamed_ok:
-        v2 = _bench_size(int(log_n2), batch, max(1, reps - 1), rate_bits,
-                         cap_height, streamed=True)
-        extra[f"elems_per_s_2^{log_n2}_streamed"] = round(v2, 1)
-        extra[f"vs_baseline_2^{log_n2}"] = round(
-            v2 / CPU_BASELINE_ELEMS_PER_S, 3)
+        try:
+            v2 = _bench_size(int(log_n2), batch, max(1, reps - 1),
+                             rate_bits, cap_height, streamed=True)
+            extra[f"elems_per_s_2^{log_n2}_streamed"] = round(v2, 1)
+            extra[f"vs_baseline_2^{log_n2}"] = round(
+                v2 / CPU_BASELINE_ELEMS_PER_S, 3)
+        except Exception as e:                  # never lose the primary
+            extra["secondary_error"] = str(e)[:200]
 
     print(json.dumps({
         "metric": f"lde_commit elems/s (2^{log_n} x {batch} polys, rate 8, "

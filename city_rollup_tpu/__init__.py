@@ -17,6 +17,18 @@ __version__ = "0.1.0"
 # CITY_ROLLUP_XLA_CACHE=off.
 import os as _os
 
+# The deployment's sitecustomize may pin jax_platforms to a TPU plugin at
+# import time, which silently overrides the JAX_PLATFORMS env var. Honor an
+# explicit CITY_FORCE_PLATFORM (e.g. "cpu" for offline corpus generation /
+# CI) by re-pinning via jax.config before any backend initializes.
+_force = _os.environ.get("CITY_FORCE_PLATFORM")
+if _force:
+    try:
+        import jax as _jax_f
+        _jax_f.config.update("jax_platforms", _force)
+    except Exception:                                    # pragma: no cover
+        pass
+
 _platforms = _os.environ.get("JAX_PLATFORMS", "") or "default"
 _cache = _os.environ.get(
     "CITY_ROLLUP_XLA_CACHE",

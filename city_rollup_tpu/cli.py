@@ -77,6 +77,37 @@ def cmd_qbench(args):
     return 0
 
 
+def cmd_sighash_corpus(args):
+    """Resumable offline sighash-whitelist fingerprint generation
+    (rollup/sighash_corpus.py; reference sighash_wrapper_config.rs:24's
+    precomputed 1,875-entry table). Shard with --start/--count; re-running
+    with the same --out resumes."""
+    from .rollup import btc, sighash_corpus
+    from .rollup.circuits import DEFAULT_PARAMS, FAST_TEST_PARAMS
+    params = FAST_TEST_PARAMS if args.fast else DEFAULT_PARAMS
+    if args.dev_covenant:
+        spend_cfg = btc.dev_spend_cfg()
+        body = btc.DEV_SCRIPT_BODY
+    else:
+        spend_cfg = btc.BlockSpendCoreConfig()
+        body = bytes.fromhex(args.script_body or "")
+        assert len(body) + 33 == spend_cfg.block_sighash_script_size, \
+            "--script-body must be the production covenant body"
+
+    def progress(i, total, gid, fp):
+        print(json.dumps({"i": i, "total": total,
+                          "gid": gid.to_felt(), "fp0": str(fp[0])}),
+              flush=True)
+
+    corpus = sighash_corpus.generate(
+        params.config, spend_cfg, body, args.out,
+        start=args.start, count=args.count, progress=progress)
+    root = corpus.whitelist_root()
+    print(json.dumps({"entries": len(corpus.fps), "of": 1875,
+                      "whitelist_root": [str(x) for x in root]}))
+    return 0
+
+
 def cmd_inspect_dump(args):
     from .rollup.qbench import BlockProofStoreDump
     with open(args.input) as f:
@@ -154,7 +185,7 @@ def cmd_l2_worker(args):
     store = NetProofStore(host, int(port))
     hub = NetQueueHub(host, int(port))
     params = FAST_TEST_PARAMS if args.fast else DEFAULT_PARAMS
-    toolbox = CircuitToolbox(params)
+    toolbox = CircuitToolbox(params, with_signatures=args.with_signatures)
     toolbox.prewarm()
     mode = WorkerMode[args.mode.upper().replace("-", "_")]
     worker = Worker(toolbox, store, hub, mode=mode)
@@ -210,7 +241,9 @@ def cmd_rpc_server(args):
     from .services.node import make_node_server
     host, port = args.store.rsplit(":", 1)
     hub = NetQueueHub(host, int(port))
-    srv = make_node_server(hub, args.host, args.port, api_url=args.api_url)
+    srv = make_node_server(
+        hub, args.host, args.port, api_url=args.api_url,
+        fleet_verifies_signatures=args.with_signatures)
     print(json.dumps({"listening": srv.url}), flush=True)
     srv.serve_forever()
     return 0
@@ -246,6 +279,12 @@ def cmd_orchestrator(args):
     store = NetProofStore(host, int(port))
     hub = NetQueueHub(host, int(port))
     params = FAST_TEST_PARAMS if args.fast else DEFAULT_PARAMS
+    if args.with_signatures:
+        import dataclasses as _dc
+        from .rollup.zk_signature import ZKSignatureWrapperCircuit
+        params = _dc.replace(
+            params,
+            sig_wrapper=ZKSignatureWrapperCircuit.build(params.config).data)
     city = CityStore(
         store=KVQSqliteStore(args.state) if args.state else None,
         user_tree_height=params.user_tree_height,
@@ -285,6 +324,18 @@ def main(argv=None):
 
     ins = sub.add_parser("inspect-dump")
     ins.add_argument("input")
+
+    sc = sub.add_parser("sighash-corpus",
+                        help="precompute whitelist fingerprints (resumable)")
+    sc.add_argument("--out", required=True)
+    sc.add_argument("--start", type=int, default=0)
+    sc.add_argument("--count", type=int, default=None)
+    sc.add_argument("--fast", action="store_true")
+    sc.add_argument("--dev-covenant", action="store_true",
+                    help="dev-tier shrunken covenant (test fixture)")
+    sc.add_argument("--script-body", default=None,
+                    help="production covenant body hex")
+    sc.set_defaults(fn=cmd_sighash_corpus)
     ins.set_defaults(fn=cmd_inspect_dump)
 
     ci = sub.add_parser("print-circuit-info")
@@ -307,6 +358,10 @@ def main(argv=None):
     lw.add_argument("--max-idle", type=float, default=0.0,
                     help="exit after this many idle seconds (0 = never)")
     lw.add_argument("--poll-interval", type=float, default=0.25)
+    lw.add_argument("--with-signatures", action="store_true",
+                    help="verify user signature proofs in-circuit (builds "
+                         "the zk-signature wrapper; fleet-wide setting — "
+                         "orchestrator and all workers must agree)")
     lw.add_argument("--batch", type=int, default=1,
                     help="group same-circuit ready jobs into one batched "
                          "device call (prove_batch)")
@@ -326,6 +381,10 @@ def main(argv=None):
     rsrv.add_argument("--port", type=int, default=7444)
     rsrv.add_argument("--store", default="127.0.0.1:7450",
                       help="netstore host:port (queues)")
+    rsrv.add_argument("--with-signatures", action="store_true",
+                      help="the fleet verifies signature proofs in-circuit; "
+                           "without this, signature-bearing requests are "
+                           "rejected rather than silently unverified")
     rsrv.add_argument("--api-url", default=None,
                       help="forward unknown methods here")
     rsrv.set_defaults(fn=cmd_rpc_server)
@@ -341,6 +400,9 @@ def main(argv=None):
     orc.add_argument("--state", default=None,
                      help="sqlite KVQ file for durable rollup state")
     orc.add_argument("--fast", action="store_true")
+    orc.add_argument("--with-signatures", action="store_true",
+                     help="plan against signature-verifying op circuits "
+                          "(must match the workers' --with-signatures)")
     orc.add_argument("--start-checkpoint", type=int, default=1)
     orc.add_argument("--block-timeout", type=float, default=None,
                      help="seconds to await block completion (None: don't)")

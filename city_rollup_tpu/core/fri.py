@@ -83,13 +83,19 @@ def _ext_codeword_to_leaves(codeword):
 
 @functools.lru_cache(maxsize=None)
 def _fold_inv_x_table(log_m: int, shift: int):
-    """1/(2*x_j) for j in [0, m/2): inv(2*shift) * w^{-j}, as (lo,hi) consts."""
+    """1/(2*x_j) for j in [0, m/2): inv(2*shift) * w^{-j}, as HOST (lo, hi)
+    uint32 arrays. Cached as numpy on purpose: this is reached from inside
+    `_fold_codeword_jit`'s trace, and caching `jnp.asarray` results there
+    would memoize constant TRACERS that leak into the next trace of a
+    different batch shape (UnexpectedTracerError). Callers lift to device
+    per trace (the conversion constant-folds)."""
     h = 1 << (log_m - 1)
     w_inv = gl64.h_inverse(gl64.h_primitive_root_of_unity(log_m))
     base = gl64.h_inverse((2 * shift) % gl64.P)
     pows = gl64.np_powers(w_inv, h)
     vals = gl64.np_mul(pows, np.uint64(base))
-    return ntt._to_pair_const(vals)
+    return ((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (vals >> np.uint64(32)).astype(np.uint32))
 
 
 def _fold_codeword(codeword, beta, log_m: int, shift: int):
@@ -130,7 +136,8 @@ def _fold_codeword_jit(codeword, beta_dev, log_m: int, shift: int):
     half = (jnp.broadcast_to(c_lo, s[0][0].shape),
             jnp.broadcast_to(c_hi, s[0][1].shape))
     even_part = gl64_ext.mul_base(s, half)          # (v+v-)/2
-    invx = _fold_inv_x_table(log_m, shift % gl64.P)
+    invx_np = _fold_inv_x_table(log_m, shift % gl64.P)
+    invx = (jnp.asarray(invx_np[0]), jnp.asarray(invx_np[1]))
     invx_b = (jnp.broadcast_to(invx[0], d[0][0].shape),
               jnp.broadcast_to(invx[1], d[0][1].shape))
     odd_part = gl64_ext.mul_base(d, invx_b)         # (v-v-)/(2x)

@@ -231,6 +231,22 @@ def encode_block_script(state_hash: bytes, g16_vd_chunks: list[bytes],
     return script
 
 
+# Dev-tier shrunken covenant: the spend config + script body the test
+# suite and the committed sighash-corpus fixture are generated against
+# (the production corpus pins the full 489-byte script body, which embeds
+# the deployment's Groth16 verifier-data chunks).
+DEV_SPEND_CFG_KW = dict(
+    block_spend_index=0, block_funding_script_size=20,
+    block_sighash_script_size=41, block_output_script_size=23,
+    deposit_funding_script_size=40, withdrawal_output_script_size=25,
+    sighash_type=1, locktime=0, version=2)
+DEV_SCRIPT_BODY = bytes(range(8))
+
+
+def dev_spend_cfg() -> "BlockSpendCoreConfig":
+    return BlockSpendCoreConfig(**DEV_SPEND_CFG_KW)
+
+
 def push_data(data: bytes) -> bytes:
     """Minimal script push encoding for arbitrary data."""
     n = len(data)

@@ -41,6 +41,17 @@ from ..crypto.bls12_381 import R as FR
 
 GROTH16_DISABLED_DEV_MODE = False
 
+# The current wrap statement attests to the packed public inputs of a
+# WORKER-verified final-GL proof under a pinned fingerprint — it does NOT
+# re-verify the Goldilocks proof inside R1CS, so on-chain it proves nothing
+# by itself (anyone can satisfy it for arbitrary inputs). Until the
+# in-R1CS Goldilocks verifier lands, broadcasting a covenant spend that
+# RELIES on OP_CHECKGROTH16VERIFY is unsound; the L1-broadcast path
+# (Orchestrator.assemble_l1_transaction with a live link) therefore
+# refuses to run unless this dev-mode flag is explicitly set, mirroring
+# GROTH16_DISABLED_DEV_MODE (block_template/config.rs:7).
+GROTH16_WRAP_ATTESTATION_DEV_MODE = False
+
 # MiMC-Feistel x^5 over Fr: 220 rounds (2x ceil(log5 2^255) for the Feistel
 # structure), nothing-up-my-sleeve constants.
 MIMC_ROUNDS = 220

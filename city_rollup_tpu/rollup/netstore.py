@@ -58,6 +58,12 @@ class _Backend:
     def __init__(self, visibility_timeout_s: float = 600.0):
         self.store = MemoryProofStore()
         self.hub = QueueHub(visibility_timeout_s)
+        # client-generated dispatch ids already processed -> their mid.
+        # Makes the queue 'send' op idempotent under the client's
+        # auto-reconnect retry (a dispatch that was processed but whose
+        # response was lost would otherwise enqueue twice). Bounded LRU.
+        import collections
+        self._seen_sends = collections.OrderedDict()
 
     def handle(self, req: dict) -> dict:
         op = req["op"]
@@ -87,8 +93,15 @@ class _Backend:
             return {"counters": [c.hex() for c in
                                  self.store.memberships(_jid(req["j"]))]}
         if op == "send":
-            return {"mid": self.hub.dispatch(req["topic"],
-                                             bytes.fromhex(req["msg"]))}
+            cid = req.get("cid")
+            if cid is not None and cid in self._seen_sends:
+                return {"mid": self._seen_sends[cid]}
+            mid = self.hub.dispatch(req["topic"], bytes.fromhex(req["msg"]))
+            if cid is not None:
+                self._seen_sends[cid] = mid
+                while len(self._seen_sends) > 1 << 16:
+                    self._seen_sends.popitem(last=False)
+            return {"mid": mid}
         if op == "recv":
             got = self.hub.receive(req["topic"])
             if got is None:
@@ -223,8 +236,12 @@ class NetQueueHub:
         self._c = _Conn(host, port)
 
     def dispatch(self, topic: str, msg: bytes) -> int:
+        import secrets
+        # unique client id makes the send idempotent across the _Conn
+        # auto-reconnect retry (server dedups on it)
         return self._c.call({"op": "send", "topic": topic,
-                             "msg": msg.hex()})["mid"]
+                             "msg": msg.hex(),
+                             "cid": secrets.token_hex(16)})["mid"]
 
     def receive(self, topic: str):
         r = self._c.call({"op": "recv", "topic": topic})

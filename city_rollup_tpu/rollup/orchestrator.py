@@ -617,8 +617,17 @@ class Orchestrator:
         covenant redeem script), fill the block transaction's input
         scripts, and broadcast via the L1 link if given."""
         import json as _json
+        from . import groth16_wrap as g16
         assert planned.block_tx is not None, "block planned without L1 ctx"
         assert planned.groth16_jobs, "block planned without groth16 wraps"
+        if link is not None and not (g16.GROTH16_DISABLED_DEV_MODE
+                                     or g16.GROTH16_WRAP_ATTESTATION_DEV_MODE):
+            raise RuntimeError(
+                "refusing to broadcast: the Groth16 wrap statement is an "
+                "attestation (no in-R1CS Goldilocks verification) and MUST "
+                "NOT be relied on for on-chain security; set "
+                "groth16_wrap.GROTH16_WRAP_ATTESTATION_DEV_MODE = True to "
+                "acknowledge, or GROTH16_DISABLED_DEV_MODE for OP_NOP mode")
         new_inputs = []
         for i, inp in enumerate(planned.block_tx.inputs):
             raw = self.store.get_bytes(

@@ -33,6 +33,15 @@ from ..snark.prover import Proof
 from ..snark.recursion import fingerprint_verifier_data
 from . import btc
 from .sighash_circuit import SigHashCircuit, SigHashShape
+
+
+def _gid_from_felt(felt: int) -> btc.SigHashGadgetId:
+    return btc.SigHashGadgetId(
+        last_block_num_deposits=felt & 0xFF,
+        last_block_num_withdrawals=(felt >> 8) & 0xFF,
+        num_deposits=(felt >> 16) & 0xFF,
+        num_withdrawals=(felt >> 24) & 0xFF,
+        current_spend_index=(felt >> 32) & 0xFF)
 from .sighash_tree import SigHashMerkleTree
 from .sighash_wrapper import SigHashFinalGLCircuit, SigHashWrapperCircuit
 
@@ -113,9 +122,64 @@ class SigHashToolbox:
                 self.final_fingerprint, setup_seed=groth16_seed,
                 dev_deterministic=groth16_dev)
 
+    @classmethod
+    def from_corpus(cls, config: CircuitConfig, corpus, transition_data,
+                    with_groth16: bool = False,
+                    groth16_seed: bytes | None = None,
+                    groth16_dev: bool = False) -> "SigHashToolbox":
+        """Build the toolbox from a precomputed fingerprint corpus
+        (rollup/sighash_corpus.py): the whitelist tree covers EVERY pinned
+        fingerprint (sorted by gid felt) without building their circuits;
+        shape circuits build lazily on first prove, each asserting its
+        fingerprint matches the pinned entry. This is the reference's
+        worker posture — 1,875 pinned fingerprints loaded from config,
+        circuits cached per config on demand (sighash_wrapper_config.rs:24,
+        sighash_wrapper.rs:58,129-160)."""
+        from . import sighash_corpus as sc
+        self = cls.__new__(cls)
+        self.config = config
+        assert sc._config_key(config) == corpus.config_key, \
+            "corpus was generated for a different CircuitConfig"
+        self.spend_cfg = corpus.spend_cfg
+        self.script_body = corpus.script_body
+        self.corpus = corpus
+        self.shapes = {}
+        # shared minified shape: derive from the cheapest layout once
+        _, mini0 = sc.build_entry(config, corpus,
+                                  btc.SigHashGadgetId(0, 0, 0, 0, 0))
+        self.minified_common = mini0.data.common
+        self._shared_shape_key = common_shape_key(self.minified_common)
+        fps = [corpus.fps[k] for k in sorted(corpus.fps)]
+        self.whitelist = SigHashMerkleTree.build(fps)
+        self.wrapper = SigHashWrapperCircuit.build(
+            config, self.minified_common, self.whitelist)
+        self.final_gl = SigHashFinalGLCircuit.build(
+            config, transition_data, self.wrapper.data)
+        self.final_fingerprint = tuple(
+            fingerprint_verifier_data(self.final_gl.data.verifier))
+        self.groth16 = None
+        if with_groth16:
+            from .groth16_wrap import Groth16WrapCircuit
+            self.groth16 = Groth16WrapCircuit.build(
+                self.final_fingerprint, setup_seed=groth16_seed,
+                dev_deterministic=groth16_dev)
+        return self
+
     # -- proving -------------------------------------------------------------
     def shape_for(self, gid_felt: int) -> BuiltSigHashShape:
         s = self.shapes.get(int(gid_felt))
+        if s is None and getattr(self, "corpus", None) is not None \
+                and int(gid_felt) in self.corpus.fps:
+            from . import sighash_corpus as sc
+            gid = _gid_from_felt(int(gid_felt))
+            circ, mini = sc.build_entry(self.config, self.corpus, gid,
+                                        expect_shape_key=
+                                        self._shared_shape_key)
+            got = tuple(int(x) for x in mini.fingerprint)
+            assert got == self.corpus.fps[int(gid_felt)], \
+                f"rebuilt fingerprint for {gid} diverges from the corpus pin"
+            s = BuiltSigHashShape(gid=gid, circuit=circ, minifier=mini)
+            self.shapes[int(gid_felt)] = s
         assert s is not None, f"sighash shape {gid_felt} not in toolbox"
         return s
 

@@ -23,9 +23,28 @@ def _enc(req) -> bytes:
 
 
 def make_node_server(hub, host: str = "127.0.0.1", port: int = 0,
-                     api_url: str | None = None) -> JsonRpcServer:
-    """`hub`: any QueueHub-compatible dispatcher (in-memory or NetQueueHub)."""
+                     api_url: str | None = None,
+                     fleet_verifies_signatures: bool = False
+                     ) -> JsonRpcServer:
+    """`hub`: any QueueHub-compatible dispatcher (in-memory or NetQueueHub).
+
+    `fleet_verifies_signatures`: whether the proving fleet was built with
+    `CircuitToolbox(..., with_signatures=True)`. When False, any request
+    that carries a signature proof is REJECTED instead of silently queued
+    with the proof ignored — a fleet without in-circuit verification would
+    prove the transfer regardless, misleading the submitter into thinking
+    the signature mattered (reference gates this path on the zk-signature
+    wrapper being in the toolbox, circuits.rs:87-95)."""
     srv = JsonRpcServer(host, port, forward_to=api_url)
+
+    def _check_sig(proof):
+        if proof is not None and not fleet_verifies_signatures:
+            raise JsonRpcError(
+                -32011,
+                "this fleet runs without in-circuit signature verification "
+                "(start workers/orchestrator with --with-signatures); "
+                "refusing a signature-bearing request the provers would "
+                "silently ignore")
 
     @srv.method("cr_registerUser")
     def register_user(user_id, public_key):
@@ -38,6 +57,7 @@ def make_node_server(hub, host: str = "127.0.0.1", port: int = 0,
 
     @srv.method("cr_tokenTransfer")
     def token_transfer(from_user, to_user, value, signature_proof=None):
+        _check_sig(signature_proof)
         req = orch_mod.TokenTransfer(int(from_user), int(to_user),
                                      int(value),
                                      signature_proof=signature_proof)
@@ -47,6 +67,7 @@ def make_node_server(hub, host: str = "127.0.0.1", port: int = 0,
     @srv.method("cr_claimDeposit")
     def claim_deposit(user_id, deposit_id, txid224, public_key, value,
                       l1_signature_proof=None):
+        _check_sig(l1_signature_proof)
         if len(public_key) != 9:
             raise JsonRpcError(-32602,
                                "public_key must be the 9-felt packing")
@@ -61,6 +82,7 @@ def make_node_server(hub, host: str = "127.0.0.1", port: int = 0,
     @srv.method("cr_addWithdrawal")
     def add_withdrawal(user_id, withdrawal_id, address, value,
                        signature_proof=None):
+        _check_sig(signature_proof)
         if len(address) != 3:
             raise JsonRpcError(-32602, "address must be the 3-limb packing")
         req = orch_mod.AddWithdrawal(

@@ -63,6 +63,49 @@ class NpAlg:
         return np.full(np.shape(like), c % P, dtype=np.uint64)
 
 
+class JnpAlg:
+    """Base-field device ``(lo, hi)`` uint32 limb pairs over the LDE domain
+    (arbitrary broadcastable shapes). Backs the jitted on-device
+    constraint/quotient pass (snark/device_passes.py) — the same gate
+    recipes that run in numpy for the host twin run here as one fused XLA
+    graph per circuit shape."""
+    add = staticmethod(gl64.add)
+    sub = staticmethod(gl64.sub)
+    mul = staticmethod(gl64.mul)
+
+    @staticmethod
+    def cmul(c, x):
+        import jax.numpy as jnp
+        c = int(c) % P
+        cl = jnp.broadcast_to(jnp.uint32(c & 0xFFFFFFFF), x[0].shape)
+        ch = jnp.broadcast_to(jnp.uint32(c >> 32), x[1].shape)
+        return gl64.mul(x, (cl, ch))
+
+    @staticmethod
+    def cadd(c, x):
+        import jax.numpy as jnp
+        c = int(c) % P
+        cl = jnp.broadcast_to(jnp.uint32(c & 0xFFFFFFFF), x[0].shape)
+        ch = jnp.broadcast_to(jnp.uint32(c >> 32), x[1].shape)
+        return gl64.add(x, (cl, ch))
+
+    @staticmethod
+    def const_like(c, like):
+        return gl64.full(like[0].shape, int(c) % P)
+
+
+def lift_jnp(v, like):
+    """Literal int or per-batch (B,) array -> a (lo, hi) pair broadcastable
+    against `like`-shaped (lo, hi) domain pairs ((M,) or (B, M))."""
+    import jax.numpy as jnp
+    if isinstance(v, np.ndarray):
+        col = v.astype(np.uint64).reshape(-1, 1)
+        return (jnp.asarray((col & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+                jnp.asarray((col >> np.uint64(32)).astype(np.uint32)))
+    c = int(v) % P
+    return (jnp.uint32(c & 0xFFFFFFFF), jnp.uint32(c >> 32))
+
+
 def lift_host(v: int):
     return (v % P, 0)
 

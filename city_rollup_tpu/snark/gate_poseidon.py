@@ -156,6 +156,117 @@ class PoseidonGate(Gate):
             state = tgt
         return cons
 
+    def eval_jnp_vec(self, wires, constants, pi_hash):
+        """Device twin of eval_alg with a COMPACT traced graph: the eight
+        full rounds evaluate as ONE vectorized pass over a leading round
+        axis (their input/target states are all stored wires, so rounds
+        are data-independent), the MDS is 12 lane-rolls instead of 144
+        scalar terms, and the partial section is a 35-term affine matvec.
+        The naive eval_alg under JnpAlg unrolls to a ~600k-op XLA graph
+        that takes tens of minutes to compile; this traces ~10k ops.
+
+        wires: list of (lo, hi) pairs, all broadcast to a common (B, M)
+        shape. Returns the same 130 constraints in eval_alg order."""
+        import jax.numpy as jnp
+        import numpy as np
+        from ..core import gl64 as g
+
+        def stack(pairs):
+            return (jnp.stack([p[0] for p in pairs]),
+                    jnp.stack([p[1] for p in pairs]))
+
+        def cpair(vals):
+            a = np.array(vals, dtype=np.uint64)
+            return (jnp.asarray((a & np.uint64(0xFFFFFFFF))
+                                .astype(np.uint32)),
+                    jnp.asarray((a >> np.uint64(32)).astype(np.uint32)))
+
+        rc = params.ALL_ROUND_CONSTANTS
+        dom = wires[0][0].shape                       # (B, M) or (M,)
+        nd = len(dom)
+
+        def bcast(cp, lead):
+            """constant pair with leading dims `lead` -> broadcast over dom"""
+            shape = cp[0].shape + (1,) * nd
+            return (jnp.broadcast_to(cp[0].reshape(shape), cp[0].shape + dom),
+                    jnp.broadcast_to(cp[1].reshape(shape), cp[1].shape + dom))
+
+        # ---- full rounds, vectorized over (8 rounds, 12 lanes) ----------
+        def wrow(base):
+            return [wires[base + i] for i in range(W12)]
+
+        ins = (wrow(COL_IN) + wrow(COL_FULL0) + wrow(COL_FULL0 + W12) +
+               wrow(COL_FULL0 + 2 * W12) + wrow(COL_POST_PARTIAL) +
+               wrow(COL_FULL1) + wrow(COL_FULL1 + W12) +
+               wrow(COL_FULL1 + 2 * W12))
+        tgts = (wrow(COL_FULL0) + wrow(COL_FULL0 + W12) +
+                wrow(COL_FULL0 + 2 * W12) + wrow(COL_PRE_PARTIAL) +
+                wrow(COL_FULL1) + wrow(COL_FULL1 + W12) +
+                wrow(COL_FULL1 + 2 * W12) + wrow(COL_OUT))
+        sin = stack(ins)                              # (96, B, M)
+        sin = (sin[0].reshape((8, W12) + dom), sin[1].reshape((8, W12) + dom))
+        stgt = stack(tgts)
+        stgt = (stgt[0].reshape((8, W12) + dom),
+                stgt[1].reshape((8, W12) + dom))
+        r0 = HF + NPR
+        rc_rows = [rc[r * W12 + i] for r in list(range(HF)) +
+                   [r0 + fr for fr in range(HF)] for i in range(W12)]
+        rc_c = cpair(rc_rows)
+        rc_b = bcast((rc_c[0].reshape(8, W12), rc_c[1].reshape(8, W12)), 2)
+        u = g.add(sin, rc_b)
+        s7 = g.exp7(u)                                # (8, 12, B, M)
+        circ, diag = params.MDS_MATRIX_CIRC, params.MDS_MATRIX_DIAG
+        diag_b = bcast((cpair(diag)[0].reshape(1, W12),
+                        cpair(diag)[1].reshape(1, W12)), 2)
+        acc = g.mul(s7, (jnp.broadcast_to(diag_b[0], s7[0].shape),
+                         jnp.broadcast_to(diag_b[1], s7[1].shape)))
+        for i in range(W12):
+            # out[rr] += circ[i] * s7[(i + rr) % 12]: roll lanes by -i
+            rolled = (jnp.roll(s7[0], -i, axis=1), jnp.roll(s7[1], -i, axis=1))
+            ci = cpair([circ[i]])
+            term = g.mul(rolled, (jnp.broadcast_to(
+                ci[0].reshape((1,) * (2 + nd)), rolled[0].shape),
+                jnp.broadcast_to(ci[1].reshape((1,) * (2 + nd)),
+                                 rolled[1].shape)))
+            acc = g.add(acc, term)
+        full_cons = g.sub(stgt, acc)                  # (8, 12, B, M)
+
+        # ---- partial section: 35-term affine matvec ---------------------
+        sbox_vecs, final_vecs = _partial_affine()
+        ysin = stack([wires[COL_SBOX + k] for k in range(NPR)])
+        ys = g.exp7(ysin)                             # (22, B, M)
+        basis = (jnp.concatenate(
+                     [jnp.stack([wires[COL_PRE_PARTIAL + i][0]
+                                 for i in range(W12)]), ys[0]]),
+                 jnp.concatenate(
+                     [jnp.stack([wires[COL_PRE_PARTIAL + i][1]
+                                 for i in range(W12)]), ys[1]]))
+        vecs = sbox_vecs + final_vecs                 # 34 rows x 35
+        C = np.array([[v[i] for v in vecs] for i in range(W12 + NPR)],
+                     dtype=object)                    # (34 basis, 34 out)
+        out34 = bcast(cpair([int(v[-1]) for v in vecs]), 1)  # consts
+        for i in range(W12 + NPR):
+            col = cpair([int(x) for x in C[i]])       # (34,) coeffs
+            col_b = bcast(col, 1)
+            bi = (jnp.broadcast_to(basis[0][i], out34[0].shape),
+                  jnp.broadcast_to(basis[1][i], out34[1].shape))
+            out34 = g.add(out34, g.mul(col_b, bi))
+        sb_tgt = stack([wires[COL_SBOX + k] for k in range(NPR)] +
+                       [wires[COL_POST_PARTIAL + i] for i in range(W12)])
+        aff_cons = g.sub(sb_tgt, out34)               # (34, B, M)
+
+        # ---- emit in eval_alg order -------------------------------------
+        cons = []
+        for fr in range(HF):
+            for i in range(W12):
+                cons.append((full_cons[0][fr, i], full_cons[1][fr, i]))
+        for k in range(NPR + W12):
+            cons.append((aff_cons[0][k], aff_cons[1][k]))
+        for fr in range(HF, 2 * HF):
+            for i in range(W12):
+                cons.append((full_cons[0][fr, i], full_cons[1][fr, i]))
+        return cons
+
     def generate(self, row, get, set_wire, constants=None):
         from ..core import poseidon_host
         state = [get(COL_IN + i) for i in range(W12)]

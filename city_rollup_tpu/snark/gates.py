@@ -340,3 +340,22 @@ class ReducingExtGate(Gate):
                 self.COL_ALPHA + 1] + \
             [self.COL_VALS + i for i in range(2 * self.num_steps)]
         return [(deps, self.generate)]
+
+
+def gate_from_key(key: str) -> Gate:
+    """Reconstruct a gate object from its stable key (fixture/corpus
+    deserialization — e.g. the sighash whitelist corpus records the shared
+    declared gate set as keys)."""
+    from .gate_poseidon import PoseidonGate
+    if key == "public_input":
+        return PublicInputGate()
+    if key == "poseidon":
+        return PoseidonGate()
+    name, _, arg = key.partition("<")
+    n = int(arg.rstrip(">"))
+    ctor = {"arithmetic": ArithmeticGate, "constant": ConstantGate,
+            "base_sum": BaseSumGate, "reducing": ReducingGate,
+            "reducing_ext": ReducingExtGate}.get(name)
+    if ctor is None:
+        raise KeyError(f"unknown gate key {key!r}")
+    return ctor(n)

@@ -62,6 +62,17 @@ class Proof:
 # Host helpers
 # ---------------------------------------------------------------------------
 
+def _blinding_rows(num_wires: int, nb: int) -> np.ndarray:
+    """CSPRNG blinding values, uniform mod p via a 128-bit fold per felt
+    (2^128 mod-p bias ~2^-64 — vs the 2^-32 bias of a raw u64 % p)."""
+    import secrets
+    raw = np.frombuffer(secrets.token_bytes(16 * num_wires * nb),
+                        dtype=np.uint64).reshape(num_wires, nb, 2)
+    # hi * 2^64 + lo == hi * EPSILON + lo (mod p)
+    return gl64.np_add(gl64.np_mul(raw[..., 1], np.uint64(gl64.EPSILON)),
+                       raw[..., 0] % np.uint64(P))
+
+
 def public_inputs_hash(pis: list[int]) -> list[int]:
     """<=4 PIs pass through zero-padded; more are Poseidon-hashed (matches
     CircuitBuilder.build's public-input wiring)."""
@@ -254,6 +265,9 @@ def compute_quotients(common, ldes: dict, betas, gammas, alphas, pi_hash
 # ---------------------------------------------------------------------------
 
 def prove(data: CircuitData, pw: PartialWitness) -> Proof:
+    from . import device_passes
+    if device_passes.enabled():
+        return _prove_batch_impl(data, [pw])[0]
     common, pd, vd = data.common, data.prover, data.verifier
     cfg = common.config
     n, log_n = common.n, common.log_n
@@ -272,13 +286,10 @@ def prove(data: CircuitData, pw: PartialWitness) -> Proof:
     # zk blinding: fill trailing gate-less padding rows of every wire
     # column with CSPRNG randomness (see CircuitConfig.num_blinding_rows)
     if cfg.num_blinding_rows:
-        import secrets
         nb = cfg.num_blinding_rows
         assert all(pd.rows[r] is None for r in range(n - nb, n)), \
             "zk blinding rows must be gate-less padding"
-        rnd = np.frombuffer(secrets.token_bytes(8 * cfg.num_wires * nb),
-                            dtype=np.uint64).reshape(cfg.num_wires, nb)
-        wires[:, n - nb:] = rnd % np.uint64(P)
+        wires[:, n - nb:] = _blinding_rows(cfg.num_wires, nb)
 
     # 2. wire commitment
     wire_coeffs, wire_ldes = interp_and_lde(wires, log_n, rate_bits)
@@ -449,11 +460,25 @@ def prove_batch(data: CircuitData, pws: list[PartialWitness]) -> list[Proof]:
     reductions) carries a leading batch axis — one kernel launch for the
     whole batch instead of B launches — while Fiat-Shamir transcripts,
     challenges, and FRI query sampling remain per-proof (identical proofs
-    to `prove` one at a time, bar prover randomness)."""
-    import jax
+    to `prove` one at a time, bar prover randomness).
+
+    On a real TPU (or under CITY_DEVICE_PASSES=1) the permutation,
+    quotient, and reduced-codeword passes run as fused device graphs
+    (snark/device_passes.py); the numpy twins remain the CPU default and
+    the bit-exactness reference."""
+    from . import device_passes
     B = len(pws)
-    if B == 1:
+    if B == 1 and not device_passes.enabled():
         return [prove(data, pws[0])]
+    return _prove_batch_impl(data, pws)
+
+
+def _prove_batch_impl(data: CircuitData,
+                      pws: list[PartialWitness]) -> list[Proof]:
+    import jax
+    from . import device_passes
+    use_dev = device_passes.enabled()
+    B = len(pws)
     common, pd, vd = data.common, data.prover, data.verifier
     cfg = common.config
     n, log_n = common.n, common.log_n
@@ -469,12 +494,10 @@ def prove_batch(data: CircuitData, pws: list[PartialWitness]) -> list[Proof]:
     for pw in pws:
         w = generate_witness(data, pw)
         if cfg.num_blinding_rows:
-            import secrets
             nb = cfg.num_blinding_rows
-            rnd = np.frombuffer(
-                secrets.token_bytes(8 * cfg.num_wires * nb),
-                dtype=np.uint64).reshape(cfg.num_wires, nb)
-            w[:, n - nb:] = rnd % np.uint64(P)
+            assert all(pd.rows[r] is None for r in range(n - nb, n)), \
+                "zk blinding rows must be gate-less padding"
+            w[:, n - nb:] = _blinding_rows(cfg.num_wires, nb)
         wires_list.append(w)
         pis = [pw.get(t) or 0 for t in pd.pi_targets]
         pis_list.append(pis)
@@ -505,11 +528,17 @@ def prove_batch(data: CircuitData, pws: list[PartialWitness]) -> list[Proof]:
               for c in range(nc)]
 
     # 3. permutation columns, batched over B
+    if use_dev:
+        zs_pp_pair = device_passes.perm_zs_pp(common, pd, wires_b,
+                                              betas, gammas)
+        jax.block_until_ready(zs_pp_pair)
+        zs_pp = gl64.to_u64(np.asarray(zs_pp_pair[0]),
+                            np.asarray(zs_pp_pair[1]))
     x = pd.subgroup
     k_is = common.k_is
     sigmas = pd.sigmas                                   # (R, n)
     zs_rows, pp_rows = [], []
-    for c in range(nc):
+    for c in range(nc) if not use_dev else []:
         beta = betas[c].reshape(B, 1)
         gamma = gammas[c].reshape(B, 1)
         ratios = np.empty((R, B, n), dtype=np.uint64)
@@ -538,7 +567,8 @@ def prove_batch(data: CircuitData, pws: list[PartialWitness]) -> list[Proof]:
         for j in range(npp):
             run = gl64.np_mul(run, chunk_prod[j])
             pp_rows.append(run)
-    zs_pp = np.stack(zs_rows + pp_rows, axis=1)          # (B, nc(1+npp), n)
+    if not use_dev:
+        zs_pp = np.stack(zs_rows + pp_rows, axis=1)      # (B, nc(1+npp), n)
     zs_pp_coeffs, zs_pp_ldes = interp_and_lde(zs_pp, log_n, rate_bits)
     zs_pp_tree = merkle.BatchedMerkleTree(
         gl64.from_u64(zs_pp_ldes.transpose(0, 2, 1)), cap_h)
@@ -564,8 +594,27 @@ def prove_batch(data: CircuitData, pws: list[PartialWitness]) -> list[Proof]:
         "pps": [zs_pp_ldes[:, nc + c * npp: nc + (c + 1) * npp, :]
                 .transpose(1, 0, 2) for c in range(nc)],
     }
-    q_coeffs = compute_quotients(common, ldes, betas, gammas, alphas,
-                                 pi_cols)                # (B, nc*8, n)
+    if use_dev:
+        csv_pair = getattr(pd, "_csv_pair", None)
+        if csv_pair is None:
+            csv_pair = gl64.from_u64(csv)
+            try:
+                pd._csv_pair = csv_pair
+            except Exception:
+                pass
+        pairs = {
+            "csv": csv_pair,
+            "wires": gl64.from_u64(wire_ldes),
+            "zs_pp": gl64.from_u64(zs_pp_ldes),
+        }
+        q_pair = device_passes.quotient_coeffs(
+            common, pairs, betas, gammas, alphas,
+            [c.reshape(-1) for c in pi_cols])
+        jax.block_until_ready(q_pair)
+        q_coeffs = gl64.to_u64(np.asarray(q_pair[0]), np.asarray(q_pair[1]))
+    else:
+        q_coeffs = compute_quotients(common, ldes, betas, gammas, alphas,
+                                     pi_cols)            # (B, nc*8, n)
     q_ldes_pair = ntt.coset_lde(gl64.from_u64(q_coeffs), log_n, rate_bits)
     q_ldes = gl64.to_u64(np.asarray(q_ldes_pair[0]),
                          np.asarray(q_ldes_pair[1]))     # (B, nc*8, M)
@@ -599,6 +648,10 @@ def prove_batch(data: CircuitData, pws: list[PartialWitness]) -> list[Proof]:
     openings_list = []
     F_lo = np.empty((B, M), dtype=np.uint64)
     F_hi = np.empty((B, M), dtype=np.uint64)
+    apows0 = np.empty((B, n_polys, 2), dtype=np.uint64)
+    apows1 = np.empty((B, nc, 2), dtype=np.uint64)
+    y0s = np.empty((B, 2), dtype=np.uint64)
+    y1s = np.empty((B, 2), dtype=np.uint64)
     for b in range(B):
         ch = chs[b]
         ys = [(int(ys_b[b, i, 0]), int(ys_b[b, i, 1]))
@@ -618,44 +671,64 @@ def prove_batch(data: CircuitData, pws: list[PartialWitness]) -> list[Proof]:
         fri_alpha = ch.get_extension_challenge()
         zeta = zetas[b]
         gzeta = gzetas[b]
-        all_ldes = all_ldes_b[b]
+        # alpha-power schedule + reduced opening values (host-exact ints)
         apow = (1, 0)
-        G0 = (np.zeros(M, dtype=np.uint64), np.zeros(M, dtype=np.uint64))
         y0 = (0, 0)
         for i in range(n_polys):
-            G0 = gl64_ext.np_ext_add(
-                G0, gl64_ext.np_ext_scale(
-                    (all_ldes[i], np.zeros_like(all_ldes[i])), apow))
+            apows0[b, i] = apow
             y0 = gl64_ext.h_add(y0, gl64_ext.h_mul(apow, ys[i]))
             apow = gl64_ext.h_mul(apow, fri_alpha)
-        inv0 = gl64_ext.np_ext_inverse(
-            gl64_ext.np_ext_sub((xs, np.zeros_like(xs)),
-                                (np.full(M, zeta[0], dtype=np.uint64),
-                                 np.full(M, zeta[1], dtype=np.uint64))))
-        num0 = gl64_ext.np_ext_sub(
-            G0, (np.full(M, y0[0], dtype=np.uint64),
-                 np.full(M, y0[1], dtype=np.uint64)))
-        F = gl64_ext.np_ext_mul(num0, inv0)
-        G1 = (np.zeros(M, dtype=np.uint64), np.zeros(M, dtype=np.uint64))
         y1 = (0, 0)
         for c in range(nc):
-            zlde = zs_pp_ldes[b, c, :]
-            G1 = gl64_ext.np_ext_add(
-                G1, gl64_ext.np_ext_scale((zlde, np.zeros_like(zlde)),
-                                          apow))
+            apows1[b, c] = apow
             y1 = gl64_ext.h_add(y1, gl64_ext.h_mul(apow, ys_next[c]))
             apow = gl64_ext.h_mul(apow, fri_alpha)
-        inv1 = gl64_ext.np_ext_inverse(
-            gl64_ext.np_ext_sub((xs, np.zeros_like(xs)),
-                                (np.full(M, gzeta[0], dtype=np.uint64),
-                                 np.full(M, gzeta[1], dtype=np.uint64))))
-        num1 = gl64_ext.np_ext_sub(
-            G1, (np.full(M, y1[0], dtype=np.uint64),
-                 np.full(M, y1[1], dtype=np.uint64)))
-        F = gl64_ext.np_ext_add(F, gl64_ext.np_ext_mul(num1, inv1))
-        F_lo[b], F_hi[b] = F[0], F[1]
+        y0s[b] = y0
+        y1s[b] = y1
+        if not use_dev:
+            all_ldes = all_ldes_b[b]
+            G0 = (np.zeros(M, dtype=np.uint64),
+                  np.zeros(M, dtype=np.uint64))
+            for i in range(n_polys):
+                G0 = gl64_ext.np_ext_add(
+                    G0, gl64_ext.np_ext_scale(
+                        (all_ldes[i], np.zeros_like(all_ldes[i])),
+                        tuple(int(v) for v in apows0[b, i])))
+            inv0 = gl64_ext.np_ext_inverse(
+                gl64_ext.np_ext_sub((xs, np.zeros_like(xs)),
+                                    (np.full(M, zeta[0], dtype=np.uint64),
+                                     np.full(M, zeta[1], dtype=np.uint64))))
+            num0 = gl64_ext.np_ext_sub(
+                G0, (np.full(M, y0[0], dtype=np.uint64),
+                     np.full(M, y0[1], dtype=np.uint64)))
+            F = gl64_ext.np_ext_mul(num0, inv0)
+            G1 = (np.zeros(M, dtype=np.uint64),
+                  np.zeros(M, dtype=np.uint64))
+            for c in range(nc):
+                zlde = zs_pp_ldes[b, c, :]
+                G1 = gl64_ext.np_ext_add(
+                    G1, gl64_ext.np_ext_scale(
+                        (zlde, np.zeros_like(zlde)),
+                        tuple(int(v) for v in apows1[b, c])))
+            inv1 = gl64_ext.np_ext_inverse(
+                gl64_ext.np_ext_sub((xs, np.zeros_like(xs)),
+                                    (np.full(M, gzeta[0], dtype=np.uint64),
+                                     np.full(M, gzeta[1], dtype=np.uint64))))
+            num1 = gl64_ext.np_ext_sub(
+                G1, (np.full(M, y1[0], dtype=np.uint64),
+                     np.full(M, y1[1], dtype=np.uint64)))
+            F = gl64_ext.np_ext_add(F, gl64_ext.np_ext_mul(num1, inv1))
+            F_lo[b], F_hi[b] = F[0], F[1]
 
-    codewords = (gl64.from_u64(F_lo), gl64.from_u64(F_hi))
+    if use_dev:
+        Fe = device_passes.reduced_codeword(
+            common, gl64.from_u64(all_ldes_b), gl64.from_u64(zs_pp_ldes),
+            apows0, apows1, y0s, y1s,
+            np.array(zetas, dtype=np.uint64),
+            np.array(gzetas, dtype=np.uint64))
+        codewords = (Fe[0], Fe[1])
+    else:
+        codewords = (gl64.from_u64(F_lo), gl64.from_u64(F_hi))
     fri_proofs = fri.fri_prove_batch(codewords, log_n + rate_bits,
                                      gl64.MULTIPLICATIVE_GROUP_GENERATOR,
                                      cfg.fri, chs)

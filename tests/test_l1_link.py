@@ -81,7 +81,17 @@ def test_assemble_l1_transaction_from_wrap_outputs():
                     json.dumps({"proof_data": pd,
                                 "public_inputs": []}).encode())
     link = MemoryBTCLink()
-    final_tx = orch.assemble_l1_transaction(planned, b"VDATA", link=link)
+    # broadcasting requires the explicit dev-mode acknowledgment (the wrap
+    # statement is an attestation, not on-chain soundness — ADVICE r4)
+    import pytest
+    from city_rollup_tpu.rollup import groth16_wrap as g16
+    with pytest.raises(RuntimeError, match="refusing to broadcast"):
+        orch.assemble_l1_transaction(planned, b"VDATA", link=link)
+    g16.GROTH16_WRAP_ATTESTATION_DEV_MODE = True
+    try:
+        final_tx = orch.assemble_l1_transaction(planned, b"VDATA", link=link)
+    finally:
+        g16.GROTH16_WRAP_ATTESTATION_DEV_MODE = False
     script = final_tx.inputs[0].script
     # witness layout: 4x48-byte proof pushes + vdata + covenant script
     assert script[0] == 48 and script[1:49] == bytes.fromhex("aa" * 48)
