@@ -191,6 +191,7 @@ def cmd_l2_worker(args):
     worker = Worker(toolbox, store, hub, mode=mode)
     print(json.dumps({"worker": "ready", "mode": args.mode}), flush=True)
     idle_since = time.monotonic()
+    groups_seen = 0
     while True:
         if args.batch > 1:
             done = worker.process_ready_batch(max_batch=args.batch)
@@ -198,6 +199,10 @@ def cmd_l2_worker(args):
             done = 1 if worker.process_next_job() else 0
         if done:
             idle_since = time.monotonic()
+            for gsz in worker.batched_groups[groups_seen:]:
+                if gsz > 1:
+                    print(json.dumps({"batched_group": gsz}), flush=True)
+            groups_seen = len(worker.batched_groups)
             for bm in worker.benchmarks[-done:]:
                 print(json.dumps({"processed": bm.job_id,
                                   "ms": round(bm.duration_ms, 1)}),

@@ -44,6 +44,10 @@ class Worker:
         self.mode = mode
         self.sighash = sighash_toolbox
         self.benchmarks: list[JobBenchmark] = []
+        #: sizes of same-circuit groups proven via prove_batch (fleet
+        #: observability: the batched-drain path is the TPU win — SURVEY.md
+        #: §2.11 "levels batched")
+        self.batched_groups: list[int] = []
 
     # -- event loop ------------------------------------------------------------
     def process_next_job(self) -> bool:
@@ -119,6 +123,7 @@ class Worker:
         from ..snark import prover as snark_prover
         done = 0
         for members in groups.values():
+            self.batched_groups.append(len(members))
             t0 = _time.perf_counter()
             proofs = snark_prover.prove_batch(
                 members[0][2], [pw for (_, _, _, pw) in members])

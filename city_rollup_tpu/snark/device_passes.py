@@ -80,7 +80,7 @@ _PERM_CACHE: dict = {}
 
 
 def perm_zs_pp(common, prover_data, wires_b: np.ndarray,
-               betas: list, gammas: list):
+               betas: list, gammas: list, shard=None):
     """(B, W, n) u64 wire matrices -> zs_pp (lo, hi) pair of shape
     (B, nc*(1+npp), n), challenge-major ([Z_c...] then [pp_{c,j}...]) —
     bit-identical to the numpy loop in prove_batch step 3.
@@ -97,7 +97,10 @@ def perm_zs_pp(common, prover_data, wires_b: np.ndarray,
         fn = fn[1]
     b_pair = _pair_const(np.stack(betas))     # (nc, B)
     g_pair = _pair_const(np.stack(gammas))
-    return fn(gl64.from_u64(wires_b), b_pair, g_pair)
+    w_pair = gl64.from_u64(wires_b)
+    if shard is not None:
+        w_pair = shard(w_pair)
+    return fn(w_pair, b_pair, g_pair)
 
 
 def _make_perm_fn(common, prover_data):

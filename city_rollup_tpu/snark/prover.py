@@ -454,7 +454,8 @@ def prove(data: CircuitData, pw: PartialWitness) -> Proof:
 # ONE sequence of batched device calls; transcripts stay per-proof on host)
 # ---------------------------------------------------------------------------
 
-def prove_batch(data: CircuitData, pws: list[PartialWitness]) -> list[Proof]:
+def prove_batch(data: CircuitData, pws: list[PartialWitness],
+                mesh=None) -> list[Proof]:
     """Prove B same-circuit witnesses together. Every polynomial-sized pass
     (LDE NTTs, Merkle levels, constraint/quotient evaluation, opening
     reductions) carries a leading batch axis — one kernel launch for the
@@ -503,6 +504,18 @@ def _prove_batch_impl(data: CircuitData,
         pis_list.append(pis)
         pi_hashes.append(public_inputs_hash(pis))
     wires_b = np.stack(wires_list)                      # (B, W, n)
+    shard_batch = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        assert B % mesh.devices.size == 0, \
+            f"batch {B} must divide the {mesh.devices.size}-device mesh"
+        axis = mesh.axis_names[0]
+
+        def shard_batch(pair):
+            """Lay a (B, ...)-leading (lo, hi) pair across the mesh."""
+            spec = PartitionSpec(axis, *([None] * (pair[0].ndim - 1)))
+            sh = NamedSharding(mesh, spec)
+            return (jax.device_put(pair[0], sh), jax.device_put(pair[1], sh))
 
     # 2. wire commitment (batched LDE + batched trees)
     wire_coeffs, wire_ldes = interp_and_lde(wires_b, log_n, rate_bits)
@@ -530,7 +543,8 @@ def _prove_batch_impl(data: CircuitData,
     # 3. permutation columns, batched over B
     if use_dev:
         zs_pp_pair = device_passes.perm_zs_pp(common, pd, wires_b,
-                                              betas, gammas)
+                                              betas, gammas,
+                                              shard=shard_batch)
         jax.block_until_ready(zs_pp_pair)
         zs_pp = gl64.to_u64(np.asarray(zs_pp_pair[0]),
                             np.asarray(zs_pp_pair[1]))
@@ -607,6 +621,9 @@ def _prove_batch_impl(data: CircuitData,
             "wires": gl64.from_u64(wire_ldes),
             "zs_pp": gl64.from_u64(zs_pp_ldes),
         }
+        if shard_batch is not None:
+            pairs["wires"] = shard_batch(pairs["wires"])
+            pairs["zs_pp"] = shard_batch(pairs["zs_pp"])
         q_pair = device_passes.quotient_coeffs(
             common, pairs, betas, gammas, alphas,
             [c.reshape(-1) for c in pi_cols])
@@ -721,8 +738,13 @@ def _prove_batch_impl(data: CircuitData,
             F_lo[b], F_hi[b] = F[0], F[1]
 
     if use_dev:
+        _all_pair = gl64.from_u64(all_ldes_b)
+        _zs_pair = gl64.from_u64(zs_pp_ldes)
+        if shard_batch is not None:
+            _all_pair = shard_batch(_all_pair)
+            _zs_pair = shard_batch(_zs_pair)
         Fe = device_passes.reduced_codeword(
-            common, gl64.from_u64(all_ldes_b), gl64.from_u64(zs_pp_ldes),
+            common, _all_pair, _zs_pair,
             apows0, apows1, y0s, y1s,
             np.array(zetas, dtype=np.uint64),
             np.array(gzetas, dtype=np.uint64))

@@ -139,7 +139,7 @@ def test_two_worker_processes_drain_one_block():
         procs = [subprocess.Popen(
             [sys.executable, "-m", "city_rollup_tpu.cli", "l2-worker",
              "--store", f"{srv.host}:{srv.port}", "--fast",
-             "--max-idle", "60"],
+             "--batch", "4", "--max-idle", "60"],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, cwd=os.path.dirname(os.path.dirname(__file__)))
             for _ in range(2)]
@@ -165,6 +165,9 @@ def test_two_worker_processes_drain_one_block():
         assert procs[0].returncode == 0, out0[-2000:]
 
         done0 = [l for l in out0.splitlines() if '"processed"' in l]
+        # the fleet path exercises the batched prover: at least one
+        # same-circuit ready group proved via prove_batch (VERDICT r4 #10)
+        assert '"batched_group"' in out0 + seen, out0[-500:]
         # every job completed despite the crash: the survivor picked up the
         # victim's remaining work (dupes possible under at-least-once —
         # idempotent writes make them harmless)
