@@ -30,6 +30,8 @@ if _force:
         pass
 
 _platforms = _os.environ.get("JAX_PLATFORMS", "") or "default"
+if _force:
+    _platforms = _force
 _cache = _os.environ.get(
     "CITY_ROLLUP_XLA_CACHE",
     _os.path.expanduser("~/.cache/city_rollup_tpu/xla-" +

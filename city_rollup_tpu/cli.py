@@ -37,6 +37,8 @@ def cmd_full_block(args):
     city.register_user(0, 0, (1, 1, 1, 1))
     city.register_user(0, 1, (2, 2, 2, 2))
     city.increment_user_balance(0, 0, 10_000)
+    # pre-fund the withdrawal fee (withdrawals debit value + fee)
+    city.increment_user_balance(0, 1, params.withdrawal_fee)
     t.lap("genesis")
     reqs = om.BlockRequests(
         register_users=[om.RegisterUser(2, (3, 3, 3, 3))],

@@ -128,41 +128,6 @@ def add(p: AffinePoint, q: AffinePoint) -> AffinePoint:
     return _jac_to_affine(_jac_add(_to_jac(p), _to_jac(q)))
 
 
-# --- GLV decomposition (glv.rs) --------------------------------------------
-
-# lambda: cube root of unity mod N; beta: cube root of unity mod P
-GLV_LAMBDA = 0x5363AD4CC05C30E0A5261C028812645A122E22EA20816678DF02967C1B23BD72
-GLV_BETA = 0x7AE96A2B657C07106E64479EAC3434E99CF0497512F58995C1396C28719501EE
-
-
-def glv_decompose(k: int) -> tuple[int, int, int, int]:
-    """Split k = k1 + k2·λ (mod N) with |k1|,|k2| ≈ √N. Returns
-    (k1, k2, s1, s2) with sign bits. Lattice basis from the standard
-    secp256k1 GLV constants."""
-    a1 = 0x3086D221A7D46BCDE86C90E49284EB15
-    b1 = -0xE4437ED6010E88286F547FA90ABFE4C3
-    a2 = 0x114CA50F7A8E2F3F657C1108D9D44CFD8
-    b2 = a1
-    c1 = (b2 * k) // N
-    c2 = (-b1 * k) // N
-    k1 = k - c1 * a1 - c2 * a2
-    k2 = -c1 * b1 - c2 * b2
-    return (abs(k1), abs(k2), 1 if k1 < 0 else 0, 1 if k2 < 0 else 0)
-
-
-def glv_mul(k: int, p: AffinePoint) -> AffinePoint:
-    """Scalar mul via GLV endomorphism: k·P = k1·P + k2·φ(P)."""
-    k1, k2, s1, s2 = glv_decompose(k % N)
-    phi = AffinePoint((GLV_BETA * p.x) % P, p.y)
-    p1 = scalar_mul(k1, p)
-    p2 = scalar_mul(k2, phi)
-    if s1:
-        p1 = AffinePoint(p1.x, (-p1.y) % P, p1.infinity)
-    if s2:
-        p2 = AffinePoint(p2.x, (-p2.y) % P, p2.infinity)
-    return add(p1, p2)
-
-
 # --- ECDSA ------------------------------------------------------------------
 
 @dataclasses.dataclass(frozen=True)

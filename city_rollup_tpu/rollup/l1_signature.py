@@ -134,6 +134,44 @@ class Secp256K1SignatureCircuit:
 
 
 @dataclasses.dataclass
+class L1DevSignatureCircuit:
+    """DEV-MODE stand-in for the full ECDSA circuit: witnesses (pk, msg),
+    checks pk lies on secp256k1, and exposes the SAME public-input
+    contract — combined = Poseidon(pk9 ∥ msg4) — WITHOUT the ECDSA
+    verification equation. It exists because the real GLV circuit builds
+    at 2^22 rows (the hinted-complete addition law costs ~1k rows per
+    point op; the reference stays ~2^17 via dedicated nonnative-mul and
+    range gates, the planned next step), which this host cannot prove.
+    The claim-deposit integration (witness plumbing, pk packing, action
+    binding, recursive verification, aggregation) is identical either
+    way; tests/test_secp_circuit.py witness-validates the real circuit
+    at full width. NEVER deploy params.l1_sig_circuit built from this."""
+    data: CircuitData
+    targets: dict
+
+    @classmethod
+    def build(cls, config: CircuitConfig) -> "L1DevSignatureCircuit":
+        b = CircuitBuilder(config)
+        g = SecpGadget(b)
+        pk = g.add_virtual_point()
+        msg = g.big.add_virtual_biguint(16)
+        g.assert_on_curve(pk)
+        b.assert_zero(pk.is_inf)
+        combined = combined_hash_gadget(b, g, pk, msg)
+        b.register_public_inputs(combined)
+        data = b.build()
+        return cls(data=data, targets={"g": g, "pk": pk, "msg": msg})
+
+    def prove(self, pk: secp.ECDSAPublicKey, msg_hash: int) -> Proof:
+        t = self.targets
+        g: SecpGadget = t["g"]
+        pw = self.data._builder.partial_witness()
+        g.set_point(pw, t["pk"], pk.point)
+        g.big.set_biguint(pw, t["msg"], msg_hash % (1 << 256))
+        return snark_prover.prove(self.data, pw)
+
+
+@dataclasses.dataclass
 class Secp256K1ProverChain:
     """Signature circuit + minifier chain to the standard recursion shape
     (the reference minifies the ecc-config proof twice,

@@ -73,6 +73,23 @@ def _blinding_rows(num_wires: int, nb: int) -> np.ndarray:
                        raw[..., 0] % np.uint64(P))
 
 
+SALT_WIDTH = 4      # salt felts per committed leaf in zk mode (plonky2 SALT_SIZE)
+
+
+def _salt_rows(m: int, batch: int | None = None) -> np.ndarray:
+    """CSPRNG salt columns ((4, M) or (B, 4, M)) for zk-mode Merkle leaves:
+    every leaf of the wires / zs_pp / quotient trees gets 4 fresh random
+    felts, making the Merkle openings at FRI query indices statistically
+    independent of the witness (plonky2's salted commitments; completes the
+    zk config together with the wire blinding rows — ADVICE r4 #3)."""
+    import secrets
+    shape = (SALT_WIDTH, m) if batch is None else (batch, SALT_WIDTH, m)
+    raw = np.frombuffer(secrets.token_bytes(16 * int(np.prod(shape))),
+                        dtype=np.uint64).reshape(shape + (2,))
+    return gl64.np_add(gl64.np_mul(raw[..., 1], np.uint64(gl64.EPSILON)),
+                       raw[..., 0] % np.uint64(P))
+
+
 def public_inputs_hash(pis: list[int]) -> list[int]:
     """<=4 PIs pass through zero-padded; more are Poseidon-hashed (matches
     CircuitBuilder.build's public-input wiring)."""
@@ -291,9 +308,15 @@ def prove(data: CircuitData, pw: PartialWitness) -> Proof:
             "zk blinding rows must be gate-less padding"
         wires[:, n - nb:] = _blinding_rows(cfg.num_wires, nb)
 
-    # 2. wire commitment
+    # 2. wire commitment (zk: leaves carry 4 salt felts)
     wire_coeffs, wire_ldes = interp_and_lde(wires, log_n, rate_bits)
-    wires_tree = merkle.MerkleTree(gl64.from_u64(wire_ldes.T), cap_h)
+    salts = {}
+    if cfg.zk:
+        salts["wires"] = _salt_rows(M)
+        wires_leaf = np.concatenate([wire_ldes, salts["wires"]])
+    else:
+        wires_leaf = wire_ldes
+    wires_tree = merkle.MerkleTree(gl64.from_u64(wires_leaf.T), cap_h)
     wires_cap = wires_tree.cap_u64()
 
     ch = Challenger()
@@ -340,7 +363,12 @@ def prove(data: CircuitData, pw: PartialWitness) -> Proof:
             pp_rows.append(run)
     zs_pp = np.stack(zs_rows + pp_rows)                      # (nc*(1+npp), n)
     zs_pp_coeffs, zs_pp_ldes = interp_and_lde(zs_pp, log_n, rate_bits)
-    zs_pp_tree = merkle.MerkleTree(gl64.from_u64(zs_pp_ldes.T), cap_h)
+    if cfg.zk:
+        salts["zs_pp"] = _salt_rows(M)
+        zs_pp_leaf = np.concatenate([zs_pp_ldes, salts["zs_pp"]])
+    else:
+        zs_pp_leaf = zs_pp_ldes
+    zs_pp_tree = merkle.MerkleTree(gl64.from_u64(zs_pp_leaf.T), cap_h)
     zs_pp_cap = zs_pp_tree.cap_u64()
     ch.observe_cap(zs_pp_cap)
     alphas = ch.get_n_challenges(nc)
@@ -362,7 +390,12 @@ def prove(data: CircuitData, pw: PartialWitness) -> Proof:
     q_ldes_pair = ntt.coset_lde(gl64.from_u64(q_coeffs), log_n, rate_bits)
     q_ldes = gl64.to_u64(np.asarray(q_ldes_pair[0]),
                          np.asarray(q_ldes_pair[1]))
-    q_tree = merkle.MerkleTree(gl64.from_u64(q_ldes.T), cap_h)
+    if cfg.zk:
+        salts["q"] = _salt_rows(M)
+        q_leaf = np.concatenate([q_ldes, salts["q"]])
+    else:
+        q_leaf = q_ldes
+    q_tree = merkle.MerkleTree(gl64.from_u64(q_leaf.T), cap_h)
     q_cap = q_tree.cap_u64()
     ch.observe_cap(q_cap)
 
@@ -434,11 +467,16 @@ def prove(data: CircuitData, pw: PartialWitness) -> Proof:
     # 7. initial-tree openings at the FRI query indices
     trees = [pd.tree, wires_tree, zs_pp_tree, q_tree]
     mats = [csv, wire_ldes, zs_pp_ldes, q_ldes]
+    tree_salts = [None, salts.get("wires"), salts.get("zs_pp"),
+                  salts.get("q")]
     initial = []
     for idx in fri_proof.query_indices:
         values, paths = [], []
-        for tr, mat in zip(trees, mats):
-            values.append([int(v) for v in mat[:, idx]])
+        for tr, mat, sl in zip(trees, mats, tree_salts):
+            vals = [int(v) for v in mat[:, idx]]
+            if sl is not None:
+                vals += [int(v) for v in sl[:, idx]]
+            values.append(vals)
             paths.append(tr.prove(idx))
         initial.append(InitialTreeOpening(values=values, paths=paths))
 
@@ -517,10 +555,18 @@ def _prove_batch_impl(data: CircuitData,
             sh = NamedSharding(mesh, spec)
             return (jax.device_put(pair[0], sh), jax.device_put(pair[1], sh))
 
-    # 2. wire commitment (batched LDE + batched trees)
+    # 2. wire commitment (batched LDE + batched trees; zk: salted leaves)
     wire_coeffs, wire_ldes = interp_and_lde(wires_b, log_n, rate_bits)
-    wires_tree = merkle.BatchedMerkleTree(
-        gl64.from_u64(wire_ldes.transpose(0, 2, 1)), cap_h)
+    salts = {}
+    if cfg.num_blinding_rows:
+        salts["wires"] = _salt_rows(M, B)
+        wires_leaf = np.concatenate([wire_ldes, salts["wires"]], axis=1)
+    else:
+        wires_leaf = wire_ldes
+    _leafpair = gl64.from_u64(wires_leaf.transpose(0, 2, 1))
+    if shard_batch is not None:
+        _leafpair = shard_batch(_leafpair)
+    wires_tree = merkle.BatchedMerkleTree(_leafpair, cap_h)
     wire_caps = [wires_tree.cap_u64(b) for b in range(B)]
 
     chs = []
@@ -584,8 +630,15 @@ def _prove_batch_impl(data: CircuitData,
     if not use_dev:
         zs_pp = np.stack(zs_rows + pp_rows, axis=1)      # (B, nc(1+npp), n)
     zs_pp_coeffs, zs_pp_ldes = interp_and_lde(zs_pp, log_n, rate_bits)
-    zs_pp_tree = merkle.BatchedMerkleTree(
-        gl64.from_u64(zs_pp_ldes.transpose(0, 2, 1)), cap_h)
+    if cfg.num_blinding_rows:
+        salts["zs_pp"] = _salt_rows(M, B)
+        zs_pp_leaf = np.concatenate([zs_pp_ldes, salts["zs_pp"]], axis=1)
+    else:
+        zs_pp_leaf = zs_pp_ldes
+    _leafpair = gl64.from_u64(zs_pp_leaf.transpose(0, 2, 1))
+    if shard_batch is not None:
+        _leafpair = shard_batch(_leafpair)
+    zs_pp_tree = merkle.BatchedMerkleTree(_leafpair, cap_h)
     zs_pp_caps = [zs_pp_tree.cap_u64(b) for b in range(B)]
     alphas_b = []
     for b in range(B):
@@ -635,8 +688,15 @@ def _prove_batch_impl(data: CircuitData,
     q_ldes_pair = ntt.coset_lde(gl64.from_u64(q_coeffs), log_n, rate_bits)
     q_ldes = gl64.to_u64(np.asarray(q_ldes_pair[0]),
                          np.asarray(q_ldes_pair[1]))     # (B, nc*8, M)
-    q_tree = merkle.BatchedMerkleTree(
-        gl64.from_u64(q_ldes.transpose(0, 2, 1)), cap_h)
+    if cfg.num_blinding_rows:
+        salts["q"] = _salt_rows(M, B)
+        q_leaf = np.concatenate([q_ldes, salts["q"]], axis=1)
+    else:
+        q_leaf = q_ldes
+    _leafpair = gl64.from_u64(q_leaf.transpose(0, 2, 1))
+    if shard_batch is not None:
+        _leafpair = shard_batch(_leafpair)
+    q_tree = merkle.BatchedMerkleTree(_leafpair, cap_h)
     q_caps = [q_tree.cap_u64(b) for b in range(B)]
     zetas = []
     for b in range(B):
@@ -760,11 +820,16 @@ def _prove_batch_impl(data: CircuitData,
         fri_proof = fri_proofs[b]
         trees = [pd.tree, wires_tree, zs_pp_tree, q_tree]
         mats = [csv, wire_ldes[b], zs_pp_ldes[b], q_ldes[b]]
+        tree_salts = [None] + [salts[k][b] if k in salts else None
+                               for k in ("wires", "zs_pp", "q")]
         initial = []
         for idx in fri_proof.query_indices:
             values, paths = [], []
-            for tr, mat in zip(trees, mats):
-                values.append([int(v) for v in mat[:, idx]])
+            for tr, mat, sl in zip(trees, mats, tree_salts):
+                vals = [int(v) for v in mat[:, idx]]
+                if sl is not None:
+                    vals += [int(v) for v in sl[:, idx]]
+                values.append(vals)
                 if isinstance(tr, merkle.BatchedMerkleTree):
                     paths.append(tr.prove(b, idx))
                 else:

@@ -148,6 +148,15 @@ class ProofTargets:
     fri: FriProofTargets
 
 
+def _salt_widths(common):
+    """Per-tree salt felts in the inner proof's initial openings: zk-mode
+    commitments (wires/zs_pp/quotient) are salted, the preprocessed
+    constants tree never is (snark/prover.py SALT_WIDTH)."""
+    from .prover import SALT_WIDTH
+    w = SALT_WIDTH if common.config.zk else 0
+    return [0, w, w, w]
+
+
 def _opening_sizes(common: CommonData):
     cfg = common.config
     S = common.num_sel_cols + cfg.num_constants + cfg.num_routed_wires
@@ -203,8 +212,10 @@ def add_virtual_proof(b: CircuitBuilder, common: CommonData) -> ProofTargets:
             layers.append(FriQueryLayerTargets(
                 coset=exts(2), merkle_path=digests(plen)))
         query_rounds.append(layers)
+        salt_w = _salt_widths(common)
         initial_openings.append(InitialOpeningTargets(
-            values=[b.add_virtual_targets(s) for s in sizes],
+            values=[b.add_virtual_targets(s + sw)
+                    for s, sw in zip(sizes, salt_w)],
             paths=[digests(path_len0) for _ in range(4)]))
 
     fri_t = FriProofTargets(
@@ -461,13 +472,16 @@ def verify_proof_gadget(b: CircuitBuilder, pt: ProofTargets,
 
         # initial witness trees: leaf hash + Merkle path per tree
         flat_vals = []
+        salt_w = _salt_widths(common)
         for tree_i in range(4):
             vals = io.values[tree_i]
-            assert len(vals) == sizes[tree_i]
+            assert len(vals) == sizes[tree_i] + salt_w[tree_i]
+            # salt felts (zk commitments) enter the leaf digest but not
+            # the FRI combination
             digest = _hash_or_noop_gadget(b, vals)
             verify_merkle_proof_gadget(b, digest, idx_bits,
                                        io.paths[tree_i], caps_t[tree_i])
-            flat_vals.extend(vals)
+            flat_vals.extend(vals[:sizes[tree_i]])
 
         x = exp_from_bits_const_base(b, w_m, idx_bits, scale=shift)
         x_ext = ext.ext(x)

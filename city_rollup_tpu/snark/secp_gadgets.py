@@ -234,12 +234,115 @@ class SecpGadget:
                            ) -> PointTarget:
         return self.scalar_mul(self.big.to_bits(k), pt)
 
+    # -- GLV endomorphism (glv.rs twin, redesigned for the hinted-complete
+    # -- addition law above) -------------------------------------------------
+    GLV_BITS = 130                   # |k1|, |k2| < 2^129 from the lattice
+    K_LIMBS = 9                      # 144-bit split magnitudes
+
+    def negate_point_if(self, bit, pt: PointTarget) -> PointTarget:
+        """bit ? -pt : pt (negation = y -> p - y; infinity preserved)."""
+        big = self.big
+        zero = big.constant_biguint(0, N_LIMBS)
+        neg_y = big.sub_mod(zero, pt.y, SECP_P)
+        return PointTarget(x=pt.x,
+                           y=self.select_biguint(bit, neg_y, pt.y),
+                           is_inf=pt.is_inf)
+
+    def endo_point(self, pt: PointTarget) -> PointTarget:
+        """psi(x, y) = (beta * x, y) — the secp256k1 GLV endomorphism,
+        psi(P) = lambda * P on the curve."""
+        beta = self.big.constant_biguint(curve.GLV_BETA, N_LIMBS)
+        return PointTarget(x=self.big.mul_mod(beta, pt.x, SECP_P),
+                           y=pt.y, is_inf=pt.is_inf)
+
+    def glv_split(self, u: BigUintTarget):
+        """Hint the GLV decomposition u ≡ (-1)^sa · a + λ·(-1)^sb · b
+        (mod n) with a, b < 2^130, and CONSTRAIN that relation — any
+        satisfying hint yields the right subgroup element, so soundness
+        never rests on the generator. Returns (a, b, sa, sb, a_bits,
+        b_bits) with the bit lists trimmed to GLV_BITS."""
+        big, b = self.big, self.b
+        av = big.add_virtual_biguint(self.K_LIMBS)
+        bv = big.add_virtual_biguint(self.K_LIMBS)
+        sa = b.add_virtual_target()
+        sb = b.add_virtual_target()
+
+        def gen(pw, _u=list(u.limbs), _a=av, _b=bv, _sa=sa, _sb=sb):
+            uv = limbs_to_int([pw.get(t) for t in _u]) % SECP_N
+            k1, k2 = curve.glv_decompose(uv)   # signed split
+            big.set_biguint(pw, _a, abs(k1))
+            big.set_biguint(pw, _b, abs(k2))
+            pw.set(_sa, 1 if k1 < 0 else 0)
+            pw.set(_sb, 1 if k2 < 0 else 0)
+
+        b.add_generator(gen, deps=list(u.limbs))
+        for bit in (sa, sb):
+            b.assert_zero(b.mul(bit, b.add_const(bit, P - 1)))
+
+        # magnitude bits (boolean-constrained by split_le_16); the tail
+        # above GLV_BITS must vanish so the ladder can stop there
+        a_bits = big.to_bits(av)
+        b_bits = big.to_bits(bv)
+        for bit in a_bits[self.GLV_BITS:] + b_bits[self.GLV_BITS:]:
+            b.assert_zero(bit)
+
+        # relation check mod n (16-limb domain)
+        zero16 = big.constant_biguint(0, N_LIMBS)
+        pad = [b.zero()] * (N_LIMBS - self.K_LIMBS)
+        a16 = BigUintTarget(list(av.limbs) + pad)
+        b16 = BigUintTarget(list(bv.limbs) + pad)
+        term_a = self.select_biguint(
+            sa, big.sub_mod(zero16, a16, SECP_N), a16)
+        lam = big.constant_biguint(curve.GLV_LAMBDA, N_LIMBS)
+        lam_b = big.mul_mod(lam, b16, SECP_N)
+        term_b = self.select_biguint(
+            sb, big.sub_mod(zero16, lam_b, SECP_N), lam_b)
+        lhs = big.add_mod(term_a, term_b, SECP_N)
+        big.assert_equal(lhs, u)
+        return av, bv, sa, sb, a_bits[:self.GLV_BITS], b_bits[:self.GLV_BITS]
+
+    def mul_base_and_point_glv(self, u1: BigUintTarget, u2: BigUintTarget,
+                               pk: PointTarget) -> PointTarget:
+        """u1·G + u2·pk via GLV splits and a shared-doubling Strauss
+        ladder: both 256-bit scalars become four ~130-bit streams over
+        {±G, ±λG, ±pk, ±ψ(pk)}, so the whole sum costs 130 doublings +
+        4·130 conditional additions instead of 2·256 of each — the row
+        cut that makes the full-width ECDSA circuit provable (reference:
+        glv.rs + curve_windowed_mul.rs; VERDICT r4 item 4)."""
+        b = self.b
+        _, _, sa, sb, a_bits, b_bits = self.glv_split(u1)
+        _, _, sc, sd, c_bits, d_bits = self.glv_split(u2)
+
+        g = curve.GENERATOR
+        lg = curve.AffinePoint((curve.GLV_BETA * g.x) % SECP_P, g.y)
+        neg = lambda p_: curve.AffinePoint(p_.x, (SECP_P - p_.y) % SECP_P)
+        pa = self.select_point(sa, self.constant_point(neg(g)),
+                               self.constant_point(g))
+        pb = self.select_point(sb, self.constant_point(neg(lg)),
+                               self.constant_point(lg))
+        pc = self.negate_point_if(sc, pk)
+        pd = self.negate_point_if(sd, self.endo_point(pk))
+
+        acc = self.constant_point(curve.INFINITY)
+        streams = [(a_bits, pa), (b_bits, pb), (c_bits, pc), (d_bits, pd)]
+        for i in reversed(range(self.GLV_BITS)):
+            acc = self.point_add(acc, acc)
+            for bits, pt in streams:
+                added = self.point_add(acc, pt)
+                acc = self.select_point(bits[i], added, acc)
+        return acc
+
     # -- ECDSA ---------------------------------------------------------------------
     def ecdsa_verify(self, pk: PointTarget, msg: BigUintTarget,
-                     r: BigUintTarget, s: BigUintTarget):
+                     r: BigUintTarget, s: BigUintTarget,
+                     use_glv: bool = True):
         """Constrain (r, s) to be a valid ECDSA signature on `msg` under
         `pk`: u1 = z s⁻¹, u2 = r s⁻¹ (mod n), R = u1·G + u2·pk, and
-        R.x ≡ r (mod n) with R finite (ecdsa.rs verify gadget twin)."""
+        R.x ≡ r (mod n) with R finite (ecdsa.rs verify gadget twin).
+
+        `use_glv` routes the double scalar-mul through the GLV/Strauss
+        ladder (~4x fewer rows); the plain double-and-add stays for
+        toy-width tests of the raw datapath."""
         big, b = self.big, self.b
         self.assert_on_curve(pk)
         b.assert_zero(pk.is_inf)
@@ -249,10 +352,13 @@ class SecpGadget:
         s_inv = big.inv_mod(s, SECP_N)
         u1 = big.mul_mod(msg, s_inv, SECP_N)
         u2 = big.mul_mod(r, s_inv, SECP_N)
-        g = self.constant_point(curve.GENERATOR)
-        r1 = self.scalar_mul_biguint(u1, g)
-        r2 = self.scalar_mul_biguint(u2, pk)
-        rr = self.point_add(r1, r2)
+        if use_glv:
+            rr = self.mul_base_and_point_glv(u1, u2, pk)
+        else:
+            g = self.constant_point(curve.GENERATOR)
+            r1 = self.scalar_mul_biguint(u1, g)
+            r2 = self.scalar_mul_biguint(u2, pk)
+            rr = self.point_add(r1, r2)
         b.assert_zero(rr.is_inf)
         rx_mod_n = big.reduce_mod(rr.x, SECP_N, N_LIMBS)
         big.assert_equal(rx_mod_n, r)

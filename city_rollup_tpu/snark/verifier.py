@@ -126,6 +126,10 @@ def verify(proof: Proof, common: CommonData, vd: VerifierData) -> bool:
     W = cfg.num_wires
     nzp = nc * (1 + npp)
     sizes = [S, W, nzp, nc * cfg.quotient_chunks]
+    # zk-mode commitments carry 4 salt felts per leaf (wires/zs_pp/quotient
+    # trees only) — hashed into the leaf digest, excluded from the FRI sum
+    from .prover import SALT_WIDTH
+    salt_w = [0] + [SALT_WIDTH if cfg.zk else 0] * 3
     ys = (o.constants_sigmas + o.wires + o.zs + o.pps + o.quotient)
     gzeta = gl64_ext.h_mul(zeta, (g_n, 0))
     w_m = gl64.h_primitive_root_of_unity(log_m)
@@ -140,14 +144,14 @@ def verify(proof: Proof, common: CommonData, vd: VerifierData) -> bool:
         flat_vals = []
         for tree_i in range(4):
             vals = [v % P for v in io.values[tree_i]]
-            if len(vals) != sizes[tree_i]:
+            if len(vals) != sizes[tree_i] + salt_w[tree_i]:
                 return None
             digest = merkle.h_hash_leaf(vals)
             if not merkle.h_verify_merkle_proof(digest, idx,
                                                 io.paths[tree_i],
                                                 caps[tree_i]):
                 return None
-            flat_vals.extend(vals)
+            flat_vals.extend(vals[:sizes[tree_i]])
         x = (shift * pow(w_m, idx, P)) % P
         # batch 0: all polys at zeta
         s0, y0 = (0, 0), (0, 0)
