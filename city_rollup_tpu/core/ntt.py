@@ -102,65 +102,147 @@ def _ntt_impl(x, log_n: int, root_pows: np.ndarray):
     return lo, hi
 
 
-# Each public transform is jitted with static size args: ONE XLA executable
-# per (transform, batch shape, size) instead of one eager dispatch-and-
-# compile per elementwise op per stage (which made a single small prove cost
-# hundreds of XLA compilations). Together with the package-level persistent
-# compilation cache, repeat proves are dispatch-only.
+# Each public transform is a thin shell around ONE jitted core per
+# (transform, batch shape, size) — instead of one eager dispatch-and-
+# compile per elementwise op per stage. The twiddle/permutation tables are
+# passed as runtime ARGUMENTS (cached device arrays), not closed-over
+# constants: at 2^24+ the embedded tables exceed 100 MB of HLO constants,
+# which the axon remote compiler rejects outright (HTTP 413) and every
+# compiler swallows slowly. `jax.ensure_compile_time_eval` keeps the cache
+# safe to populate even when a shell is first called inside an outer trace
+# (a cached tracer would poison later retraces).
 
-@functools.partial(jax.jit, static_argnums=(1,))
+_DEV_TABLES: dict = {}
+
+
+def _dev_pair(key, arr_u64_fn):
+    ent = _DEV_TABLES.get(key)
+    if ent is None:
+        arr = arr_u64_fn()
+        with jax.ensure_compile_time_eval():
+            ent = (jnp.asarray((arr & np.uint64(0xFFFFFFFF))
+                               .astype(np.uint32)),
+                   jnp.asarray((arr >> np.uint64(32)).astype(np.uint32)))
+        _DEV_TABLES[key] = ent
+    return ent
+
+
+def _dev_perm(log_n: int):
+    key = ("brev", log_n)
+    ent = _DEV_TABLES.get(key)
+    if ent is None:
+        with jax.ensure_compile_time_eval():
+            ent = jnp.asarray(_bit_reverse_perm(log_n))
+        _DEV_TABLES[key] = ent
+    return ent
+
+
+def _ntt_args(log_n: int, inverse: bool):
+    pows = (("ipow", log_n) if inverse else ("pow", log_n))
+    fn = (lambda: _inv_root_powers(log_n)) if inverse else         (lambda: _root_powers(log_n))
+    p_lo, p_hi = _dev_pair(pows, fn)
+    return p_lo, p_hi, _dev_perm(log_n)
+
+
+def _ntt_core(x, p_lo, p_hi, perm, log_n: int):
+    """Arg-table twin of _ntt_impl: stage twiddles are SLICES of the
+    passed root-power array (graph ops, nothing embedded)."""
+    n = 1 << log_n
+    lo, hi = x
+    batch = lo.shape[:-1]
+    lo = jnp.take(lo, perm, axis=-1)
+    hi = jnp.take(hi, perm, axis=-1)
+    for s in range(log_n):
+        half = 1 << s
+        blocks = n // (2 * half)
+        stride = n // (2 * half)
+        tw_lo = p_lo[::stride][:half] if half > 1 else p_lo[:1]
+        tw_hi = p_hi[::stride][:half] if half > 1 else p_hi[:1]
+        lo = lo.reshape(batch + (blocks, 2, half))
+        hi = hi.reshape(batch + (blocks, 2, half))
+        even = (lo[..., 0, :], hi[..., 0, :])
+        odd = (lo[..., 1, :], hi[..., 1, :])
+        t = gl64.mul(odd, (jnp.broadcast_to(tw_lo, odd[0].shape),
+                           jnp.broadcast_to(tw_hi, odd[1].shape)))
+        top = gl64.add(even, t)
+        bot = gl64.sub(even, t)
+        lo = jnp.stack([top[0], bot[0]], axis=-2).reshape(batch + (n,))
+        hi = jnp.stack([top[1], bot[1]], axis=-2).reshape(batch + (n,))
+    return lo, hi
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _ntt_jit(x, p_lo, p_hi, perm, log_n: int):
+    return _ntt_core(x, p_lo, p_hi, perm, log_n)
+
+
 def ntt(x, log_n: int):
     """Forward NTT: coefficients -> evaluations on the 2^log_n subgroup."""
-    return _ntt_impl(x, log_n, _root_powers(log_n))
+    return _ntt_jit(x, *_ntt_args(log_n, False), log_n)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def intt(x, log_n: int):
-    """Inverse NTT: evaluations -> coefficients (includes 1/N scaling)."""
+@functools.partial(jax.jit, static_argnums=(4,))
+def _intt_jit(x, p_lo, p_hi, perm, log_n: int):
     n = 1 << log_n
-    y = _ntt_impl(x, log_n, _inv_root_powers(log_n))
+    y = _ntt_core(x, p_lo, p_hi, perm, log_n)
     n_inv = gl64.h_inverse(n)
     c_lo, c_hi = _to_pair_const(np.array([n_inv], dtype=np.uint64))
     return gl64.mul(y, (jnp.broadcast_to(c_lo, y[0].shape),
                         jnp.broadcast_to(c_hi, y[1].shape)))
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def intt(x, log_n: int):
+    """Inverse NTT: evaluations -> coefficients (includes 1/N scaling)."""
+    return _intt_jit(x, *_ntt_args(log_n, True), log_n)
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def _coset_lde_jit(coeffs, c_lo, c_hi, p_lo, p_hi, perm, log_n: int,
+                   rate_bits: int):
+    lo, hi = coeffs
+    n = 1 << log_n
+    m = 1 << (log_n + rate_bits)
+    scaled = gl64.mul((lo, hi), (jnp.broadcast_to(c_lo, lo.shape),
+                                 jnp.broadcast_to(c_hi, hi.shape)))
+    pad = [(0, 0)] * (lo.ndim - 1) + [(0, m - n)]
+    padded = (jnp.pad(scaled[0], pad), jnp.pad(scaled[1], pad))
+    return _ntt_core(padded, p_lo, p_hi, perm, log_n + rate_bits)
+
+
 def coset_lde(coeffs, log_n: int, rate_bits: int,
               shift: int = gl64.MULTIPLICATIVE_GROUP_GENERATOR):
     """Low-degree extension: coeffs (..., 2^log_n) -> evals (..., 2^(log_n+rate_bits))
     on the coset shift * <w>. Mirrors plonky2's PolynomialCoeffs::coset_fft with
     rate 2^rate_bits (SURVEY.md §2.14; BASELINE.md op-circuit LDE rate 1/8)."""
-    lo, hi = coeffs
-    n = 1 << log_n
-    log_m = log_n + rate_bits
-    m = 1 << log_m
-    assert lo.shape[-1] == n
-    # scale coeff i by shift^i, then zero-pad to m
-    pows = _coset_powers(log_n, shift % gl64.P)
-    p_lo, p_hi = _to_pair_const(pows)
-    scaled = gl64.mul((lo, hi), (jnp.broadcast_to(p_lo, lo.shape),
-                                 jnp.broadcast_to(p_hi, hi.shape)))
-    pad = [(0, 0)] * (lo.ndim - 1) + [(0, m - n)]
-    padded = (jnp.pad(scaled[0], pad), jnp.pad(scaled[1], pad))
-    return _ntt_impl(padded, log_m, _root_powers(log_m))
+    assert coeffs[0].shape[-1] == 1 << log_n
+    sh = shift % gl64.P
+    c_lo, c_hi = _dev_pair(("coset", log_n, sh),
+                           lambda: _coset_powers(log_n, sh))
+    p_lo, p_hi, perm = _ntt_args(log_n + rate_bits, False)
+    return _coset_lde_jit(coeffs, c_lo, c_hi, p_lo, p_hi, perm, log_n,
+                          rate_bits)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def coset_intt(evals, log_m: int,
-               shift: int = gl64.MULTIPLICATIVE_GROUP_GENERATOR):
-    """Inverse of evaluation on coset shift * <w>: evals -> coefficients."""
+@functools.partial(jax.jit, static_argnums=(6,))
+def _coset_intt_jit(evals, p_lo, p_hi, perm, s_lo, s_hi, log_m: int):
     n = 1 << log_m
-    y = _ntt_impl(evals, log_m, _inv_root_powers(log_m))
+    y = _ntt_core(evals, p_lo, p_hi, perm, log_m)
     n_inv = gl64.h_inverse(n)
     c_lo, c_hi = _to_pair_const(np.array([n_inv], dtype=np.uint64))
     c = gl64.mul(y, (jnp.broadcast_to(c_lo, y[0].shape),
                      jnp.broadcast_to(c_hi, y[1].shape)))
+    return gl64.mul(c, (jnp.broadcast_to(s_lo, c[0].shape),
+                        jnp.broadcast_to(s_hi, c[1].shape)))
+
+
+def coset_intt(evals, log_m: int,
+               shift: int = gl64.MULTIPLICATIVE_GROUP_GENERATOR):
+    """Inverse of evaluation on coset shift * <w>: evals -> coefficients."""
     inv_shift = gl64.h_inverse(shift % gl64.P)
-    pows = _coset_powers(log_m, inv_shift)
-    p_lo, p_hi = _to_pair_const(pows)
-    return gl64.mul(c, (jnp.broadcast_to(p_lo, c[0].shape),
-                        jnp.broadcast_to(p_hi, c[1].shape)))
+    s_lo, s_hi = _dev_pair(("coset", log_m, inv_shift),
+                           lambda: _coset_powers(log_m, inv_shift))
+    p_lo, p_hi, perm = _ntt_args(log_m, True)
+    return _coset_intt_jit(evals, p_lo, p_hi, perm, s_lo, s_hi, log_m)
 
 
 # ---------------------------------------------------------------------------
