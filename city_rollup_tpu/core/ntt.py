@@ -176,8 +176,21 @@ def _ntt_jit(x, p_lo, p_hi, perm, log_n: int):
     return _ntt_core(x, p_lo, p_hi, perm, log_n)
 
 
+def _pallas(log_m: int):
+    """Route big transforms to the Pallas four-step path (VMEM-resident
+    stages, ~5 HBM sweeps instead of ~log_m). Lazy import: pallas_ntt
+    imports this module for its table caches."""
+    from . import pallas_ntt
+    if pallas_ntt.available() and log_m >= pallas_ntt.MIN_LOG_N:
+        return pallas_ntt
+    return None
+
+
 def ntt(x, log_n: int):
     """Forward NTT: coefficients -> evaluations on the 2^log_n subgroup."""
+    pn = _pallas(log_n)
+    if pn is not None:
+        return pn.ntt(x, log_n)
     return _ntt_jit(x, *_ntt_args(log_n, False), log_n)
 
 
@@ -193,6 +206,9 @@ def _intt_jit(x, p_lo, p_hi, perm, log_n: int):
 
 def intt(x, log_n: int):
     """Inverse NTT: evaluations -> coefficients (includes 1/N scaling)."""
+    pn = _pallas(log_n)
+    if pn is not None:
+        return pn.intt(x, log_n)
     return _intt_jit(x, *_ntt_args(log_n, True), log_n)
 
 
@@ -215,6 +231,9 @@ def coset_lde(coeffs, log_n: int, rate_bits: int,
     on the coset shift * <w>. Mirrors plonky2's PolynomialCoeffs::coset_fft with
     rate 2^rate_bits (SURVEY.md §2.14; BASELINE.md op-circuit LDE rate 1/8)."""
     assert coeffs[0].shape[-1] == 1 << log_n
+    pn = _pallas(log_n + rate_bits)
+    if pn is not None:
+        return pn.coset_lde(coeffs, log_n, rate_bits, shift)
     sh = shift % gl64.P
     c_lo, c_hi = _dev_pair(("coset", log_n, sh),
                            lambda: _coset_powers(log_n, sh))
@@ -238,6 +257,9 @@ def _coset_intt_jit(evals, p_lo, p_hi, perm, s_lo, s_hi, log_m: int):
 def coset_intt(evals, log_m: int,
                shift: int = gl64.MULTIPLICATIVE_GROUP_GENERATOR):
     """Inverse of evaluation on coset shift * <w>: evals -> coefficients."""
+    pn = _pallas(log_m)
+    if pn is not None:
+        return pn.coset_intt(evals, log_m, shift)
     inv_shift = gl64.h_inverse(shift % gl64.P)
     s_lo, s_hi = _dev_pair(("coset", log_m, inv_shift),
                            lambda: _coset_powers(log_m, inv_shift))

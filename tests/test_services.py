@@ -30,7 +30,8 @@ def stack():
     hub = QueueHub()
     api = make_api_server(city, store)
     api.start_background()
-    node = make_node_server(hub, api_url=api.url)
+    node = make_node_server(hub, api_url=api.url,
+                            fleet_verifies_signatures=True)
     node.start_background()
     provider = CityRpcProvider(node_url=node.url)
     yield {"city": city, "store": store, "hub": hub, "api": api,
@@ -66,6 +67,24 @@ def test_node_enqueues_and_flush_rebuilds_requests(stack):
     assert reqs.claim_deposits[0].public_key == tuple(range(9))
     # queues are drained
     assert flush_rpc_requests(stack["hub"]).token_transfers == []
+
+
+def test_node_without_sig_fleet_rejects_signature_proofs():
+    """A node fronting a no-signature fleet must refuse signature-bearing
+    requests instead of silently proving without verification (ADVICE r4)."""
+    from city_rollup_tpu.services.rpc_common import JsonRpcError
+    hub = QueueHub()
+    node = make_node_server(hub)          # fleet_verifies_signatures=False
+    node.start_background()
+    try:
+        pr = CityRpcProvider(node_url=node.url)
+        pr.token_transfer(0, 5, 123)      # unsigned: fine
+        with pytest.raises(JsonRpcError):
+            pr.add_withdrawal(0, 0, (1, 2, 3), 77, signature_proof="aa")
+        with pytest.raises(JsonRpcError):
+            pr.token_transfer(0, 5, 9, signature_proof="bb")
+    finally:
+        node.shutdown()
 
 
 def test_node_validates_shapes(stack):
